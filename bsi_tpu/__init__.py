@@ -7,8 +7,16 @@ data-parallel training harness over TPU meshes, and the full evaluation suite
 (ELBO/bits-per-dim, FID, sampling tooling).
 """
 
-from .core import BSI, Discretization, LogUniform, broadcast_right
+from .core import BFN, BSI, VDM, Discretization, LogUniform, broadcast_right
 
 __version__ = "0.1.0"
 
-__all__ = ["BSI", "Discretization", "LogUniform", "broadcast_right", "__version__"]
+__all__ = [
+    "BSI",
+    "VDM",
+    "BFN",
+    "Discretization",
+    "LogUniform",
+    "broadcast_right",
+    "__version__",
+]

@@ -1,6 +1,8 @@
+from .bfn import BFN
 from .bsi import BSI
 from .common import ModelFn, broadcast_right, sample_lds_t
 from .discretization import Discretization
+from .vdm import VDM
 from .distributions import (
     LogUniform,
     discretized_normal_log_prob,
@@ -10,6 +12,8 @@ from .distributions import (
 
 __all__ = [
     "BSI",
+    "VDM",
+    "BFN",
     "Discretization",
     "LogUniform",
     "ModelFn",
