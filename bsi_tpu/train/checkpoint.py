@@ -1,0 +1,60 @@
+"""Orbax checkpointing with the config-in-checkpoint contract.
+
+The reference embeds the fully resolved config in every checkpoint
+(bsi/lightning/callbacks.py:7-16) and all offline tooling reconstructs the
+training setup from it (scripts/eval_fid.py:119-126). We keep that contract:
+each checkpoint directory holds the orbax state tree plus ``config.json``
+and the data-stream cursor, making checkpoints self-describing.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(
+    path: str | Path,
+    state: Any,
+    *,
+    config: Optional[dict] = None,
+    data_state: Optional[dict] = None,
+) -> None:
+    """Save a train state (+ config + data cursor) to ``path``."""
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", state, force=True)
+    meta = {"config": config, "data_state": data_state}
+    (path / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
+
+
+def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, dict]:
+    """Restore a train state saved by :func:`save_checkpoint`.
+
+    ``target`` is a pytree of the same structure (e.g. a freshly created
+    state) providing shapes/dtypes/shardings for restoration.
+
+    Returns ``(state, meta)`` where ``meta`` has ``config`` and ``data_state``.
+    """
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        state = ckptr.restore(path / "state", abstract)
+    meta_file = path / "meta.json"
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    return state, meta
+
+
+def load_checkpoint_config(path: str | Path) -> dict:
+    """Read only the embedded config (the scripts' entry point for
+    reconstructing a training setup from a checkpoint)."""
+    meta = json.loads((Path(path).absolute() / "meta.json").read_text())
+    config = meta.get("config")
+    if config is None:
+        raise ValueError(f"Checkpoint at {path} does not embed a config")
+    return config

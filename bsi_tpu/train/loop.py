@@ -1,0 +1,221 @@
+"""Step-based training loop.
+
+Our replacement for the reference's Lightning harness (bsi/tasks/*.py +
+train.py): an explicit loop with
+
+- one fused, donated, data-parallel jitted train step,
+- periodic validation with exact-coverage masked metrics over both the val
+  split and a fixed train subset (dual-dataloader semantics,
+  bsi/tasks/bsi.py:204-216),
+- EMA-parameter evaluation, fixed per-epoch eval RNG for comparable metrics
+  across runs (bsi/tasks/bsi.py:200-202),
+- checkpoint save (last + best) with the resolved config embedded, and
+  resume including the data-stream cursor,
+- optional callbacks (plots, FID) invoked at validation time.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsi_tpu.parallel import batch_sharding, make_mesh, replicated
+from bsi_tpu.utils.logging import MetricLogger, count_params
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .ema import EMAConfig
+from .state import TrainState
+from .step import make_eval_step, make_sample_fn, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        *,
+        algorithm,
+        model,
+        optimizer,
+        data,
+        ema: EMAConfig | None = None,
+        eval_model=None,
+        max_steps: int = 10000,
+        val_check_interval: int = 10000,
+        log_every: int = 50,
+        n_elbo_recon_samples: int = 1,
+        n_elbo_measure_samples: int = 1,
+        limit_eval_batches: Optional[int] = None,
+        run_dir: str | Path = "runs/default",
+        logger: Optional[MetricLogger] = None,
+        config: Optional[dict] = None,
+        seed: int = 0,
+        mesh=None,
+        callbacks: tuple = (),
+    ):
+        self.algorithm = algorithm
+        self.model = model
+        self.eval_model = eval_model if eval_model is not None else model
+        self.optimizer = optimizer
+        self.data = data
+        self.ema_cfg = ema or EMAConfig()
+        self.max_steps = max_steps
+        self.val_check_interval = val_check_interval
+        self.log_every = log_every
+        self.limit_eval_batches = limit_eval_batches
+        self.run_dir = Path(run_dir)
+        self.logger = logger or MetricLogger(self.run_dir)
+        self.config = config or {}
+        self.seed = seed
+        self.callbacks = callbacks
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._rep = replicated(self.mesh)
+        self._shard = batch_sharding(self.mesh)
+
+        def train_apply(params, mu, t, rng):
+            rngs = {"dropout": rng} if rng is not None else None
+            return self.model.apply(params, mu, t, deterministic=False, rngs=rngs)
+
+        def eval_apply(params, mu, t, rng):
+            return self.eval_model.apply(params, mu, t, deterministic=True)
+
+        self.train_apply = train_apply
+        self.eval_apply = eval_apply
+
+        self._train_step = jax.jit(
+            make_train_step(self.algorithm, train_apply, self.optimizer, self.ema_cfg),
+            in_shardings=(self._rep, self._shard),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(
+                self.algorithm,
+                eval_apply,
+                n_recon_samples=n_elbo_recon_samples,
+                n_measure_samples=n_elbo_measure_samples,
+            ),
+            in_shardings=(self._rep, self._shard, self._shard, self._rep),
+            out_shardings=self._rep,
+        )
+        self.sample_fn = make_sample_fn(self.algorithm, eval_apply)
+
+        self.state: TrainState | None = None
+
+    # ------------------------------------------------------------------ setup
+
+    def init_state(self) -> TrainState:
+        rng = jax.random.key(self.seed)
+        rng_init, rng_state = jax.random.split(rng)
+        shape = self.data.data_shape()
+        mu = jnp.zeros((2,) + tuple(shape), jnp.float32)
+        t = jnp.zeros((2,), jnp.float32)
+        params = self.model.init(rng_init, mu, t)
+        opt_state = self.optimizer.init(params)
+        state = TrainState.create(params=params, opt_state=opt_state, rng=rng_state)
+        self.logger.console_line(f"model parameters: {count_params(params):,}")
+        return jax.device_put(state, self._rep)
+
+    # ------------------------------------------------------------------ train
+
+    def fit(self, from_checkpoint: Optional[str] = None) -> dict:
+        if from_checkpoint is not None:
+            self.restore(from_checkpoint)
+        if self.state is None:
+            self.state = self.init_state()
+        self.logger.log_hyperparams(self.config)
+
+        batches = self.data.train_batches()
+        start_step = int(self.state.step)
+        best_bpd = float("inf")
+        last_metrics: dict = {}
+        t_log = time.time()
+
+        for step in range(start_step, self.max_steps):
+            batch = jax.device_put(next(batches), self._shard)
+            self.state, metrics = self._train_step(self.state, batch)
+
+            if (step + 1) % self.log_every == 0 or step + 1 == self.max_steps:
+                host = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_log
+                host["train/steps_per_sec"] = self.log_every / dt if dt > 0 else 0.0
+                t_log = time.time()
+                self.logger.log(step + 1, host)
+                self.logger.console_line(
+                    f"step {step + 1}/{self.max_steps}  loss {host['train/loss']:.4f}  "
+                    f"({host['train/steps_per_sec']:.2f} it/s)"
+                )
+                last_metrics = host
+
+            if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_steps:
+                val_metrics = self.validate(epoch_tag=step + 1)
+                last_metrics.update(val_metrics)
+                bpd = val_metrics.get("val/bpd", float("inf"))
+                self.save("last")
+                if bpd < best_bpd:
+                    best_bpd = bpd
+                    self.save("best")
+                t_log = time.time()
+
+        return last_metrics
+
+    # ------------------------------------------------------------------- eval
+
+    def validate(self, *, stage: str = "val", epoch_tag: int = 0) -> dict:
+        assert self.state is not None
+        splits = self.data.eval_splits() if stage == "val" else self.data.test_splits()
+        # Fixed eval RNG per validation pass: metrics comparable across steps
+        rng = jax.random.key(np.uint32(0x5EED ^ self.seed).item())
+        metrics: dict[str, float] = {}
+        for name, split in splits.items():
+            sums = {"elbo_sum": 0.0, "bpd_sum": 0.0, "count": 0.0}
+            for i, (batch, mask) in enumerate(self.data.eval_batches(split)):
+                if self.limit_eval_batches is not None and i >= self.limit_eval_batches:
+                    break
+                rng, sub = jax.random.split(rng)
+                out = self._eval_step(
+                    self.state,
+                    jax.device_put(batch, self._shard),
+                    jax.device_put(mask, self._shard),
+                    sub,
+                )
+                for k in sums:
+                    sums[k] += float(out[k])
+            if sums["count"] > 0:
+                prefix = stage if name != "train" else f"{stage}_on_train"
+                metrics[f"{prefix}/elbo"] = sums["elbo_sum"] / sums["count"]
+                metrics[f"{prefix}/bpd"] = sums["bpd_sum"] / sums["count"]
+        step = int(self.state.step)
+        self.logger.log(step, metrics)
+        if "val/bpd" in metrics:
+            self.logger.console_line(
+                f"validation @ step {step}: bpd {metrics['val/bpd']:.4f}"
+            )
+        for cb in self.callbacks:
+            cb(self, stage=stage, step=step)
+        return metrics
+
+    def test(self) -> dict:
+        return self.validate(stage="test")
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save(self, tag: str = "last") -> Path:
+        assert self.state is not None
+        path = self.run_dir / f"ckpt_{tag}"
+        save_checkpoint(
+            path, self.state, config=self.config, data_state=self.data.state_dict()
+        )
+        return path
+
+    def restore(self, path: str | Path) -> None:
+        if self.state is None:
+            self.state = self.init_state()
+        self.state, meta = load_checkpoint(path, self.state)
+        self.state = jax.device_put(self.state, self._rep)
+        if meta.get("data_state"):
+            self.data.load_state_dict(meta["data_state"])

@@ -1,0 +1,107 @@
+"""Factories for the jitted train / eval step functions.
+
+The reference compiles ``train_loss``/``elbo``/``sample`` separately with
+torch.compile and stitches them together in a LightningModule
+(bsi/tasks/bsi.py:120-134, :187-252). Here each step is one pure function
+over a :class:`TrainState` — forward, backward, optimizer, EMA, and metric
+reduction fuse into a single XLA program, and the state is donated so
+parameters update in place in HBM.
+
+Distribution: the caller jits these with a batch sharded over the mesh's
+``data`` axis and state replicated; XLA inserts the gradient all-reduce
+(the DDP analogue) and metric reductions automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .ema import EMAConfig, ema_update, maybe_switch_ema
+from .state import TrainState
+
+# model_apply(params, mu, t, dropout_rng | None) -> prediction
+ModelApply = Callable[[Any, jnp.ndarray, jnp.ndarray, Optional[jax.Array]], jnp.ndarray]
+
+
+def make_train_step(
+    algorithm,
+    model_apply: ModelApply,
+    tx: optax.GradientTransformation,
+    ema_cfg: EMAConfig,
+):
+    """Build the fused train step: loss -> grads -> optimizer -> EMA."""
+
+    def train_step(state: TrainState, batch: jnp.ndarray):
+        rng_step = jax.random.fold_in(state.rng, state.step)
+        rng_algo, rng_dropout = jax.random.split(rng_step)
+
+        def loss_fn(params):
+            model_fn = lambda mu, t: model_apply(params, mu, t, rng_dropout)
+            return algorithm.train_loss(model_fn, rng_algo, batch).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(ema_cfg, state.step, state.ema_params, params)
+        params = maybe_switch_ema(ema_cfg, state.step, ema_params, params)
+
+        metrics = {
+            "train/loss": loss,
+            "train/grad_norm": optax.global_norm(grads),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    algorithm,
+    model_apply: ModelApply,
+    *,
+    n_recon_samples: int = 1,
+    n_measure_samples: int = 1,
+    use_ema: bool = True,
+):
+    """Build the eval step computing masked ELBO metric *sums*.
+
+    Returns per-batch sums and a count rather than means so the caller can
+    aggregate exactly over ragged final batches — preserving the reference's
+    non-padding eval guarantee (bsi/data/sampler.py:45-69) under XLA's
+    fixed shapes: pad the batch, zero the mask.
+    """
+
+    def eval_step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray, rng: jax.Array):
+        params = state.ema_params if use_ema else state.params
+        model_fn = lambda mu, t: model_apply(params, mu, t, None)
+        elbo, bpd, _ = algorithm.elbo(
+            model_fn, rng, batch, n_recon_samples, n_measure_samples
+        )
+        m = mask.astype(elbo.dtype)
+        return {
+            "elbo_sum": (elbo * m).sum(),
+            "bpd_sum": (bpd * m).sum(),
+            "count": m.sum(),
+        }
+
+    return eval_step
+
+
+def make_sample_fn(algorithm, model_apply: ModelApply, *, use_ema: bool = True):
+    """Build the sampling function (EMA params by default, deterministic model)."""
+
+    def sample(state: TrainState, rng: jax.Array, n_samples: int, t=None, dtype=jnp.float32):
+        params = state.ema_params if use_ema else state.params
+        model_fn = lambda mu, tt: model_apply(params, mu, tt, None)
+        return algorithm.sample(model_fn, rng, n_samples, t=t, dtype=dtype)
+
+    return sample

@@ -1,0 +1,178 @@
+"""Tests for EMA semantics, the fused train step, the Trainer loop, the
+data-parallel mesh, and checkpoint/resume."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from bsi_tpu.core import BSI
+from bsi_tpu.data import SyntheticDataModule
+from bsi_tpu.models import DenoisingMLP
+from bsi_tpu.nn import NyquistPositionalEmbedding
+from bsi_tpu.parallel import make_mesh
+from bsi_tpu.train import (
+    EMAConfig,
+    Trainer,
+    ema_decay,
+    ema_update,
+    make_optimizer,
+    warmup_cosine_schedule,
+    warmup_schedule,
+)
+
+DATA_SHAPE = (8, 8, 3)
+
+
+def test_ema_decay_matches_reference_formula():
+    torch = pytest.importorskip("torch")
+    from bsi.tasks.ema_pytorch import EMA as RefEMA
+
+    ref = RefEMA(
+        torch.nn.Linear(2, 2),
+        beta=0.9999,
+        update_after_step=10,
+        update_every=1,
+        inv_gamma=1.0,
+        power=2 / 3,
+        include_online_model=False,
+    )
+    cfg = EMAConfig(beta=0.9999, update_after_step=10, update_every=1, inv_gamma=1.0, power=2 / 3)
+    for step in [0, 1, 5, 10, 11, 12, 50, 1000, 100000]:
+        ref.step = step
+        want = float(ref.get_current_decay())
+        got = float(ema_decay(cfg, jnp.asarray(step)))
+        npt.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_ema_update_copy_then_lerp():
+    cfg = EMAConfig(beta=0.9, update_after_step=2, update_every=1, inv_gamma=1.0, power=1.0)
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    # steps 0..2: copy (epoch <= 0)
+    for step in range(3):
+        out = ema_update(cfg, jnp.asarray(step), ema, params)
+        npt.assert_allclose(np.asarray(out["w"]), 1.0)
+    # step 4: epoch = 1, decay = min(1 - (1+1)^-1, 0.9) = 0.5
+    out = ema_update(cfg, jnp.asarray(4), {"w": jnp.zeros(3)}, params)
+    npt.assert_allclose(np.asarray(out["w"]), 0.5)
+
+
+def test_ema_update_every_skips():
+    cfg = EMAConfig(beta=0.5, update_after_step=0, update_every=2)
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    # step 3 is off-cycle: no change
+    out = ema_update(cfg, jnp.asarray(3), ema, params)
+    npt.assert_allclose(np.asarray(out["w"]), 0.0)
+
+
+def test_schedules():
+    s = warmup_schedule(1e-3, warmup_steps=10, start_lr=1e-8)
+    assert float(s(0)) == pytest.approx(1e-8)
+    assert float(s(10)) == pytest.approx(1e-3)
+    assert float(s(100)) == pytest.approx(1e-3)
+
+    c = warmup_cosine_schedule(1e-3, warmup_steps=10, max_steps=110, end_lr=1e-5)
+    assert float(c(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(c(110)) == pytest.approx(1e-5, rel=1e-3)
+    mid = float(c(60))
+    assert 1e-5 < mid < 1e-3
+
+
+def make_trainer(tmp_path, mesh=None, **kwargs):
+    algo = BSI(
+        data_shape=DATA_SHAPE, lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=8,
+        preconditioning="edm",
+    )
+    model = DenoisingMLP(
+        data_shape=DATA_SHAPE, pos_emb=NyquistPositionalEmbedding(16, 100),
+        hidden_width=64, layers=2,
+    )
+    data = SyntheticDataModule(
+        n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=16, train_eval_size=16
+    )
+    opt = make_optimizer(warmup_schedule(1e-3, 5), betas=(0.9, 0.99), weight_decay=1e-4)
+    defaults = dict(
+        algorithm=algo, model=model, optimizer=opt, data=data,
+        ema=EMAConfig(update_after_step=2),
+        max_steps=12, val_check_interval=6, log_every=4,
+        run_dir=tmp_path / "run", config={"seed": 0, "note": "test"}, seed=0,
+        mesh=mesh,
+    )
+    defaults.update(kwargs)
+    return Trainer(**defaults)
+
+
+def test_trainer_end_to_end(tmp_path):
+    trainer = make_trainer(tmp_path)
+    metrics = trainer.fit()
+    assert "train/loss" in metrics and math.isfinite(metrics["train/loss"])
+    assert "val/bpd" in metrics and math.isfinite(metrics["val/bpd"])
+    assert "val_on_train/bpd" in metrics
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    assert (tmp_path / "run" / "ckpt_last" / "meta.json").exists()
+    assert int(trainer.state.step) == 12
+
+
+def test_trainer_resume_is_exact(tmp_path):
+    # Train 12 steps in one go
+    t1 = make_trainer(tmp_path / "a", max_steps=12, val_check_interval=100)
+    t1.fit()
+    w1 = jax.tree.leaves(t1.state.params)[0]
+
+    # Train 6 steps, checkpoint, resume to 12 in a fresh trainer
+    t2 = make_trainer(tmp_path / "b", max_steps=6, val_check_interval=100)
+    t2.fit()
+    ckpt = t2.save("resume")
+    t3 = make_trainer(tmp_path / "c", max_steps=12, val_check_interval=100)
+    t3.fit(from_checkpoint=ckpt)
+    w3 = jax.tree.leaves(t3.state.params)[0]
+
+    npt.assert_allclose(np.asarray(w1), np.asarray(w3), atol=1e-6)
+    assert int(t3.state.step) == 12
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    t1 = make_trainer(tmp_path / "dp1", mesh=make_mesh(1), max_steps=8, val_check_interval=100)
+    m1 = t1.fit()
+    t8 = make_trainer(tmp_path / "dp8", mesh=make_mesh(8), max_steps=8, val_check_interval=100)
+    m8 = t8.fit()
+    # same seed, same batches -> same training trajectory up to reduction order
+    npt.assert_allclose(m1["train/loss"], m8["train/loss"], rtol=1e-4)
+    w1 = np.asarray(jax.tree.leaves(t1.state.params)[0])
+    w8 = np.asarray(jax.tree.leaves(t8.state.params)[0])
+    npt.assert_allclose(w1, w8, atol=1e-5)
+
+
+def test_eval_mask_excludes_padding(tmp_path):
+    """Masked-out (padded) rows must not influence the eval metric sums."""
+    from bsi_tpu.train import make_eval_step
+
+    t = make_trainer(tmp_path, max_steps=1, val_check_interval=100)
+    t.fit()
+    eval_step = jax.jit(make_eval_step(t.algorithm, t.eval_apply))
+
+    rng = jax.random.key(0)
+    good = next(t.data.train_batches(6))
+    mask = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], dtype=bool)
+    garbage_a = np.concatenate([good, np.full((2,) + DATA_SHAPE, 1e3, np.float32)])
+    garbage_b = np.concatenate([good, np.full((2,) + DATA_SHAPE, -7.0, np.float32)])
+    out_a = eval_step(t.state, jnp.asarray(garbage_a), mask, rng)
+    out_b = eval_step(t.state, jnp.asarray(garbage_b), mask, rng)
+    assert float(out_a["count"]) == 6.0
+    npt.assert_allclose(float(out_a["bpd_sum"]), float(out_b["bpd_sum"]), rtol=1e-6)
+    assert math.isfinite(float(out_a["elbo_sum"]))
+
+
+def test_validation_reproducible(tmp_path):
+    """The fixed eval RNG makes repeated validation passes identical."""
+    t = make_trainer(tmp_path, mesh=make_mesh(4), max_steps=2, val_check_interval=100)
+    t.fit()
+    m_a = t.validate()
+    m_b = t.validate()
+    npt.assert_allclose(m_a["val/bpd"], m_b["val/bpd"], rtol=1e-7)
