@@ -75,6 +75,13 @@ class ArrayDataModule:
 
     # ----------------------------------------------------------------- train
 
+    def _prepare(self, batch: np.ndarray) -> np.ndarray:
+        """Per-batch postprocessing. uint8 storage (memory-frugal for the
+        large ImageNet sets) is normalized to [-1, 1] float32 on gather."""
+        if batch.dtype == np.uint8:
+            return (batch.astype(np.float32) / 255.0) * 2.0 - 1.0
+        return batch
+
     def train_batches(self, per_host_batch: Optional[int] = None) -> Iterator[np.ndarray]:
         """Endless stream of training batches (this host's shard of the
         global batch; the global batch is split across hosts like the
@@ -84,7 +91,7 @@ class ArrayDataModule:
             per_host_batch = base + (self.shard_id < self.batch_size % self.num_shards)
         while True:
             idx = self.stream.next_indices(per_host_batch)
-            batch = self._train[idx]
+            batch = self._prepare(self._train[idx])
             if self.augment_flip:
                 flip = self._aug_rng.random(len(batch)) < 0.5
                 batch = np.where(flip[:, None, None, None], batch[:, :, ::-1, :], batch)
@@ -107,7 +114,7 @@ class ArrayDataModule:
         bs = batch_size or self.eval_batch_size
         idx = eval_shard(len(split), self.shard_id, self.num_shards)
         for chunk, mask in padded_batches(idx, bs):
-            yield split[chunk], mask
+            yield self._prepare(split[chunk]), mask
 
     # ------------------------------------------------------------- state
 

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Equivalent of the reference's hydra-driven ``train.py`` (SURVEY.md §3.1):
+
+    ./train.py data=cifar10 task=bsi trainer.max_steps=100000
+    ./train.py experiment=cifar10-vdm
+    ./train.py -m experiment=imagenet32        # run the experiment's sweep
+
+Composition, overrides, interpolation: bsi_tpu/config. Checkpoints embed the
+resolved config; resume with ``from_ckpt=<dir>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+import time
+import faulthandler
+from pathlib import Path
+
+from bsi_tpu.config import ConfigLoader, instantiate
+from bsi_tpu.tasks import build_task
+from bsi_tpu.utils.logging import MetricLogger
+from bsi_tpu.utils.seed import resolve_seed
+
+
+def run_one(config: dict) -> dict:
+    import jax
+
+    seed = resolve_seed(config)
+
+    title = config.get("title") or "run"
+    name = config.get("name") or config["task"].get("name", "task")
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    run_dir = Path(config.get("run_root", "runs")) / str(title) / f"{name}-{seed % 10**6}-{stamp}"
+
+    data = instantiate(config["data"], seed=seed)
+    logger = MetricLogger(run_dir, wandb_config=config.get("logging", {}).get("wandb"))
+    logger.console_line(f"run dir: {run_dir}")
+    logger.console_line(json.dumps(config, indent=2, default=str))
+
+    trainer = build_task(config, data, run_dir=run_dir, seed=seed, logger=logger)
+    metrics = trainer.fit(from_checkpoint=config.get("from_ckpt"))
+    if config.get("eval_testset"):
+        metrics.update(trainer.test())
+        trainer.save("last")
+    logger.close()
+    return metrics
+
+
+def expand_sweep(loader: ConfigLoader, overrides: list[str]) -> list[list[str]]:
+    """Expand the chosen config's ``sweep`` table (and comma-lists in CLI
+    overrides) into a cartesian product of override lists."""
+    base = loader.load("train", overrides)
+    sweep = base.get("sweep") or {}
+    axes: list[list[str]] = []
+    for key, values in sweep.items():
+        axes.append([f"{key}={v}" for v in values])
+    expanded: list[list[str]] = [overrides]
+    for axis in axes:
+        expanded = [prev + [choice] for prev in expanded for choice in axis]
+    return expanded
+
+
+def main(argv: list[str] | None = None) -> int:
+    faulthandler.enable()
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("overrides", nargs="*", help="config overrides (key=value)")
+    parser.add_argument("-m", "--multirun", action="store_true", help="run the sweep")
+    args = parser.parse_args(argv)
+
+    loader = ConfigLoader(Path(__file__).parent / "configs")
+    runs = expand_sweep(loader, args.overrides) if args.multirun else [args.overrides]
+
+    results = []
+    for i, ov in enumerate(runs):
+        config = loader.load("train", ov)
+        config.pop("sweep", None)
+        if len(runs) > 1:
+            print(f"=== run {i + 1}/{len(runs)}: {ov} ===", flush=True)
+        try:
+            results.append(run_one(config))
+        except Exception:
+            # submitit/pipe layers can swallow tracebacks; print before re-raise
+            # (the reference's print_exceptions decorator, bsi/utils/exceptions.py)
+            import traceback
+
+            traceback.print_exc()
+            raise
+    best = results[-1].get("val/bpd") if results else None
+    if best is not None:
+        print(f"final val/bpd: {best:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
