@@ -2,6 +2,7 @@ from .bfn import BFN
 from .bsi import BSI
 from .common import ModelFn, broadcast_right, sample_lds_t
 from .discretization import Discretization
+from .schedules import get_schedule
 from .vdm import VDM
 from .distributions import (
     LogUniform,

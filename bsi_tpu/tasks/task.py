@@ -109,6 +109,11 @@ def build_task(
     algorithm = build_algorithm(
         task_cfg["algorithm"], data_shape, data.discretization()
     )
+    if trainer_cfg.get("plots", True):
+        from .plots import PlotsCallback
+
+        callbacks = tuple(callbacks) + (PlotsCallback(),)
+
     max_steps = int(trainer_cfg.get("max_steps", 10000))
     optimizer = build_optimizer(
         task_cfg["optimizer"],

@@ -1,0 +1,73 @@
+"""Tests for the lambda-variance-space sampling schedules."""
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from bsi_tpu.core import BSI, VDM, get_schedule
+
+
+@pytest.fixture(scope="module")
+def bsi():
+    return BSI(data_shape=(4,), lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=50)
+
+
+def test_linear_schedules(bsi):
+    t = np.asarray(get_schedule("linear", 10, bsi, dtype=jnp.float64))
+    npt.assert_allclose(t, np.linspace(0, 1, 11))
+    vdm = VDM(data_shape=(4,), snr_min=1e-2, snr_max=1e5)
+    t = np.asarray(get_schedule("linear", 10, vdm, dtype=jnp.float64))
+    npt.assert_allclose(t, np.linspace(1, 0, 11))
+
+
+@pytest.mark.parametrize("name", ["cosine", "edm", "edm7"])
+def test_variance_schedules_match_reference_formula(bsi, name):
+    """Transcription of the reference formulas (scripts/eval_fid.py:52-87)
+    as an independent oracle."""
+    k = 20
+    got = np.asarray(get_schedule(name, k, bsi, dtype=jnp.float64))
+
+    max_var = 1 / bsi.lambda_0
+    min_var = 1 / (bsi.lambda_0 + bsi.alpha_M)
+    if name == "cosine":
+        variance = (max_var - min_var) * np.cos(np.linspace(0, 1, k) * np.pi / 2) ** 2 + min_var
+    elif name == "edm":
+        variance = np.linspace(np.sqrt(max_var), np.sqrt(min_var), k) ** 2
+    else:
+        t = np.linspace(0, 1, k)
+        rho = 7
+        stds = (max_var**0.5) ** (1 / rho) + t * (
+            (min_var**0.5) ** (1 / rho) - (max_var**0.5) ** (1 / rho)
+        )
+        variance = (stds**rho) ** 2
+    want = np.asarray(bsi.p_lambda.cdf(jnp.asarray(1 / variance)))
+
+    assert got.shape == (k,)  # variance schedules return k points (reference semantics)
+    npt.assert_allclose(got, want, rtol=1e-10)
+    # monotonically increasing in t, i.e. decreasing variance
+    assert np.all(np.diff(got) > 0)
+    npt.assert_allclose(got[0], 0.0, atol=1e-9)
+    npt.assert_allclose(got[-1], 1.0, atol=1e-9)
+
+
+def test_variance_schedule_rejected_for_vdm():
+    vdm = VDM(data_shape=(4,), snr_min=1e-2, snr_max=1e5)
+    with pytest.raises(ValueError):
+        get_schedule("cosine", 10, vdm)
+
+
+def test_unknown_schedule_rejected(bsi):
+    with pytest.raises(ValueError):
+        get_schedule("quadratic", 10, bsi)
+
+
+def test_schedules_drive_sampler(bsi):
+    import jax
+
+    model = lambda mu, t: jnp.tanh(mu)
+    for name in ("cosine", "edm", "edm7"):
+        t = get_schedule(name, 8, bsi)
+        s = bsi.sample(model, jax.random.key(0), 2, t=t)
+        assert s.shape == (2, 4)
+        assert bool(jnp.isfinite(s).all())

@@ -1,0 +1,131 @@
+"""End-to-end tests of the offline eval/analysis scripts.
+
+Trains a tiny model via the CLI, then drives the scripts against its
+checkpoint in-process (the scripts' main() with patched argv).
+"""
+
+import json
+import runpy
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+SCRIPTS = REPO / "scripts"
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpt_run")
+    sys.path.insert(0, str(REPO))
+    import train as train_cli
+
+    rc = train_cli.main(
+        [
+            "data=synthetic",
+            "data.n_train=64",
+            "data.n_val=16",
+            "data.batch_size=16",
+            "task.model=mlp",
+            "task.algorithm.k=4",
+            "task.ema.update_after_step=1",
+            "trainer.max_steps=3",
+            "trainer.val_check_interval=2",
+            "trainer.log_every_n_steps=1",
+            "trainer.limit_eval_batches=1",
+            "trainer.plots=no",
+            "seed=11",
+            f"run_root={tmp}/runs",
+        ]
+    )
+    assert rc == 0
+    ckpts = sorted(tmp.glob("runs/*/*/ckpt_last"))
+    assert ckpts
+    return ckpts[0]
+
+
+def run_script(name: str, argv: list[str], monkeypatch):
+    monkeypatch.syspath_prepend(str(SCRIPTS))
+    monkeypatch.setattr(sys, "argv", [name] + argv)
+    runpy.run_path(str(SCRIPTS / name), run_name="__main__")
+
+
+def test_eval_elbo(checkpoint, tmp_path, monkeypatch):
+    out = tmp_path / "elbo.json"
+    run_script(
+        "eval_elbo.py",
+        ["-c", str(checkpoint), "-o", str(out), "-k", "inf", "4", "--split", "val",
+         "-r", "2", "-m", "2", "data.eval_batch_size=16"],
+        monkeypatch,
+    )
+    results = json.loads(out.read_text())
+    assert "inf" in results["bpd_means"] and "4" in results["bpd_means"]
+    assert np.isfinite(results["bpd_means"]["inf"])
+    assert results["bpd_mean_vars"]["inf"] > 0
+
+
+def test_generate_samples_and_render(checkpoint, tmp_path, monkeypatch):
+    out = tmp_path / "samples.npz"
+    run_script(
+        "generate_samples.py",
+        ["-c", str(checkpoint), "-o", str(out), "-n", "12", "-k", "4",
+         "data.eval_batch_size=8"],
+        monkeypatch,
+    )
+    with np.load(out) as z:
+        assert z["samples"].shape == (12, 8, 8, 3)
+        assert np.isfinite(z["samples"]).all()
+
+    png = tmp_path / "grid.png"
+    run_script("render_samples.py", [str(out), str(png), "--cols", "4"], monkeypatch)
+    assert png.exists()
+
+
+def test_generate_sample_history(checkpoint, tmp_path, monkeypatch):
+    out = tmp_path / "hist.npz"
+    run_script(
+        "generate_sample_history.py",
+        ["-c", str(checkpoint), "-o", str(out), "-n", "3", "-k", "4"],
+        monkeypatch,
+    )
+    with np.load(out) as z:
+        assert z["mus"].shape == (5, 3, 8, 8, 3)
+        assert z["x_hats"].dtype == np.uint8
+        assert z["ys"].shape == (4, 3, 8, 8, 3)
+
+
+def test_sample_h_alpha(checkpoint, tmp_path, monkeypatch):
+    out = tmp_path / "h_alpha.npz"
+    run_script(
+        "sample_h_alpha.py",
+        ["-c", str(checkpoint), "-o", str(out), "-n", "16", "--split", "val",
+         "data.eval_batch_size=16"],
+        monkeypatch,
+    )
+    with np.load(out) as z:
+        assert z["lambda"].shape == (16,)
+        errs = z["squared_error_samples_bpd"]
+        assert errs.shape[0] == 16
+        assert np.isfinite(errs).all()
+
+
+def test_eval_overrides(checkpoint, tmp_path, monkeypatch, capsys):
+    out = tmp_path / "metrics.json"
+    run_script(
+        "eval_overrides.py",
+        ["-c", str(checkpoint), "-o", str(out), "trainer.limit_eval_batches=1"],
+        monkeypatch,
+    )
+    metrics = json.loads(out.read_text())
+    assert any(k.startswith("test/") for k in metrics)
+
+
+def test_eval_fid_requires_weights(checkpoint, tmp_path, monkeypatch):
+    with pytest.raises(SystemExit, match="Inception weights"):
+        run_script(
+            "eval_fid.py",
+            ["-c", str(checkpoint), "-o", str(tmp_path / "fid.json"), "-k", "4"],
+            monkeypatch,
+        )
