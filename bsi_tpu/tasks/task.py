@@ -91,6 +91,7 @@ def build_task(
     mesh=None,
     logger: Optional[MetricLogger] = None,
     callbacks: tuple = (),
+    preemption=None,
 ) -> Trainer:
     """Assemble a Trainer from a fully-resolved config and a data module."""
     task_cfg: dict[str, Any] = config["task"]
@@ -113,6 +114,14 @@ def build_task(
         from .plots import PlotsCallback
 
         callbacks = tuple(callbacks) + (PlotsCallback(),)
+
+    profiler = None
+    if trainer_cfg.get("profile_steps"):
+        from bsi_tpu.utils.profiling import StepWindowProfiler
+
+        profiler = StepWindowProfiler(
+            Path(run_dir) / "profile", num_steps=int(trainer_cfg["profile_steps"])
+        )
 
     max_steps = int(trainer_cfg.get("max_steps", 10000))
     optimizer = build_optimizer(
@@ -141,4 +150,6 @@ def build_task(
         seed=seed,
         mesh=mesh,
         callbacks=callbacks,
+        preemption=preemption,
+        profiler=profiler,
     )

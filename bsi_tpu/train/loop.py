@@ -55,6 +55,8 @@ class Trainer:
         seed: int = 0,
         mesh=None,
         callbacks: tuple = (),
+        preemption=None,
+        profiler=None,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -71,6 +73,8 @@ class Trainer:
         self.config = config or {}
         self.seed = seed
         self.callbacks = callbacks
+        self.preemption = preemption
+        self.profiler = profiler
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self._rep = replicated(self.mesh)
@@ -135,12 +139,23 @@ class Trainer:
         last_metrics: dict = {}
         t_log = time.time()
 
+        from bsi_tpu.parallel.distributed import put_host_batch
+
         for step in range(start_step, self.max_steps):
-            batch = jax.device_put(next(batches), self._shard)
+            batch = put_host_batch(self.mesh, next(batches))
             self.state, metrics = self._train_step(self.state, batch)
+            if self.profiler is not None:
+                self.profiler.on_step(step)
 
             if (step + 1) % self.log_every == 0 or step + 1 == self.max_steps:
                 host = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(host["train/loss"]):
+                    # NaN watchdog: checkpoint the broken state for post-mortem
+                    self.save("nan")
+                    raise RuntimeError(
+                        f"non-finite train loss {host['train/loss']} at step {step + 1} "
+                        f"(state saved to ckpt_nan)"
+                    )
                 dt = time.time() - t_log
                 host["train/steps_per_sec"] = self.log_every / dt if dt > 0 else 0.0
                 t_log = time.time()
@@ -150,6 +165,16 @@ class Trainer:
                     f"({host['train/steps_per_sec']:.2f} it/s)"
                 )
                 last_metrics = host
+
+            if self.preemption is not None and self.preemption.triggered:
+                # Preemption: write a resumable checkpoint and stop cleanly
+                # (the SLURM-USR1-requeue analogue, SURVEY.md §5.3)
+                path = self.save("interrupt")
+                self.logger.console_line(
+                    f"preempted at step {step + 1}; checkpoint saved to {path}"
+                )
+                last_metrics["preempted"] = True
+                return last_metrics
 
             if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_steps:
                 val_metrics = self.validate(epoch_tag=step + 1)
@@ -161,6 +186,8 @@ class Trainer:
                     self.save("best")
                 t_log = time.time()
 
+        if self.profiler is not None:
+            self.profiler.close()
         return last_metrics
 
     # ------------------------------------------------------------------- eval

@@ -30,24 +30,56 @@ from bsi_tpu.utils.seed import resolve_seed
 def run_one(config: dict) -> dict:
     import jax
 
+    from bsi_tpu.parallel.distributed import host_shard, initialize_distributed
+    from bsi_tpu.utils.preemption import PreemptionHandler
+
+    initialize_distributed()
+    shard_id, num_shards = host_shard()
+    is_main = shard_id == 0
+
     seed = resolve_seed(config)
+    if num_shards > 1 and config.get("seed") is None:
+        raise ValueError("multi-host runs require an explicit seed so hosts agree")
+
+    if config.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
 
     title = config.get("title") or "run"
     name = config.get("name") or config["task"].get("name", "task")
     stamp = time.strftime("%Y%m%d-%H%M%S")
     run_dir = Path(config.get("run_root", "runs")) / str(title) / f"{name}-{seed % 10**6}-{stamp}"
 
-    data = instantiate(config["data"], seed=seed)
-    logger = MetricLogger(run_dir, wandb_config=config.get("logging", {}).get("wandb"))
+    # Requeue: reuse the W&B run recorded in the checkpoint we resume from
+    # (the reference persists the run id across SLURM requeues, train.py:88-107)
+    from_ckpt = config.get("from_ckpt")
+    wandb_cfg = dict(config.get("logging", {}).get("wandb") or {})
+    if from_ckpt:
+        meta_file = Path(from_ckpt) / "meta.json"
+        if meta_file.exists():
+            prev = json.loads(meta_file.read_text()).get("config") or {}
+            prev_id = (prev.get("logging", {}).get("wandb") or {}).get("id")
+            if prev_id:
+                wandb_cfg.update({"id": prev_id, "resume": "allow"})
+
+    data = instantiate(config["data"], seed=seed, shard_id=shard_id, num_shards=num_shards)
+    logger = MetricLogger(run_dir, wandb_config=wandb_cfg, is_main_process=is_main)
+    if getattr(logger, "_wandb", None) is not None:
+        config.setdefault("logging", {}).setdefault("wandb", {})["id"] = logger._wandb.id
     logger.console_line(f"run dir: {run_dir}")
     logger.console_line(json.dumps(config, indent=2, default=str))
 
-    trainer = build_task(config, data, run_dir=run_dir, seed=seed, logger=logger)
-    metrics = trainer.fit(from_checkpoint=config.get("from_ckpt"))
-    if config.get("eval_testset"):
-        metrics.update(trainer.test())
-        trainer.save("last")
-    logger.close()
+    preemption = PreemptionHandler().install()
+    trainer = build_task(
+        config, data, run_dir=run_dir, seed=seed, logger=logger, preemption=preemption
+    )
+    try:
+        metrics = trainer.fit(from_checkpoint=from_ckpt)
+        if config.get("eval_testset") and not metrics.get("preempted"):
+            metrics.update(trainer.test())
+            trainer.save("last")
+    finally:
+        preemption.uninstall()
+        logger.close()
     return metrics
 
 
