@@ -37,7 +37,7 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, c: jnp.ndarray, *, deterministic: bool = True
+        self, x: jnp.ndarray, c: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         size = x.shape[-1]
         # adaLN-Zero: the final Dense is zero-initialized so each block starts
@@ -87,6 +87,7 @@ class DiT(nn.Module):
     heads: int
     mlp_ratio: int = 4
     dropout: float | None = None
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     def _pos_embedding(self) -> np.ndarray:
@@ -117,14 +118,17 @@ class DiT(nn.Module):
         tokens = tokens + jnp.asarray(self._pos_embedding(), tokens.dtype)
 
         c = NyquistPositionalEmbedding(self.hidden_size, 1000)(t)
+        # Rematerialization trades FLOPs for activation memory — required to
+        # fit DiT-L at large batch on one chip (jax.checkpoint per block)
+        block_cls = nn.remat(DiTBlock, static_argnums=(3,)) if self.remat else DiTBlock
         for i in range(self.depth):
-            tokens = DiTBlock(
+            tokens = block_cls(
                 heads=self.heads,
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(tokens, c, deterministic=deterministic)
+            )(tokens, c, deterministic)
 
         tokens = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(tokens)
         out = nn.Dense(p * p * self.out_channels, dtype=self.dtype, name="patch_decoder")(
@@ -148,6 +152,7 @@ class DenoisingDiT(nn.Module):
     heads: int
     mlp_ratio: int = 4
     dropout: float | None = None
+    remat: bool = False
     fourier_features: FourierFeatures | None = None
     dtype: jnp.dtype | None = None
 
@@ -169,6 +174,7 @@ class DenoisingDiT(nn.Module):
             heads=self.heads,
             mlp_ratio=self.mlp_ratio,
             dropout=self.dropout,
+            remat=self.remat,
             dtype=self.dtype,
             name="dit",
         )(x, t, deterministic=deterministic)

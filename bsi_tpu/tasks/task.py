@@ -152,4 +152,5 @@ def build_task(
         callbacks=callbacks,
         preemption=preemption,
         profiler=profiler,
+        fsdp=bool(trainer_cfg.get("fsdp", False)),
     )

@@ -57,6 +57,7 @@ class Trainer:
         callbacks: tuple = (),
         preemption=None,
         profiler=None,
+        fsdp: bool = False,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -89,28 +90,49 @@ class Trainer:
 
         self.train_apply = train_apply
         self.eval_apply = eval_apply
-
-        self._train_step = jax.jit(
-            make_train_step(self.algorithm, train_apply, self.optimizer, self.ema_cfg),
-            in_shardings=(self._rep, self._shard),
-            out_shardings=(self._rep, self._rep),
-            donate_argnums=(0,),
-        )
-        self._eval_step = jax.jit(
-            make_eval_step(
-                self.algorithm,
-                eval_apply,
-                n_recon_samples=n_elbo_recon_samples,
-                n_measure_samples=n_elbo_measure_samples,
-            ),
-            in_shardings=(self._rep, self._shard, self._shard, self._rep),
-            out_shardings=self._rep,
-        )
+        self.fsdp = fsdp
+        self._n_elbo = (n_elbo_recon_samples, n_elbo_measure_samples)
+        self._state_shardings = None
+        self._train_step = None
+        self._eval_step = None
         self.sample_fn = make_sample_fn(self.algorithm, eval_apply)
 
         self.state: TrainState | None = None
 
     # ------------------------------------------------------------------ setup
+
+    def _state_sharding_for(self, state):
+        """Replicated by default; FSDP shards large leaves over the data axis
+        (ZeRO-3 via XLA SPMD — all-gather/reduce-scatter inserted by the
+        compiler; see bsi_tpu/parallel/fsdp.py)."""
+        if not self.fsdp:
+            return self._rep
+        from bsi_tpu.parallel.fsdp import fsdp_state_sharding
+
+        return fsdp_state_sharding(state, self.mesh)
+
+    def _ensure_compiled(self):
+        if self._train_step is not None:
+            return
+        assert self.state is not None
+        sh = self._state_shardings
+        n_recon, n_measure = self._n_elbo
+        self._train_step = jax.jit(
+            make_train_step(self.algorithm, self.train_apply, self.optimizer, self.ema_cfg),
+            in_shardings=(sh, self._shard),
+            out_shardings=(sh, self._rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(
+                self.algorithm,
+                self.eval_apply,
+                n_recon_samples=n_recon,
+                n_measure_samples=n_measure,
+            ),
+            in_shardings=(sh, self._shard, self._shard, self._rep),
+            out_shardings=self._rep,
+        )
 
     def init_state(self) -> TrainState:
         rng = jax.random.key(self.seed)
@@ -122,7 +144,8 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         state = TrainState.create(params=params, opt_state=opt_state, rng=rng_state)
         self.logger.console_line(f"model parameters: {count_params(params):,}")
-        return jax.device_put(state, self._rep)
+        self._state_shardings = self._state_sharding_for(state)
+        return jax.device_put(state, self._state_shardings)
 
     # ------------------------------------------------------------------ train
 
@@ -131,6 +154,7 @@ class Trainer:
             self.restore(from_checkpoint)
         if self.state is None:
             self.state = self.init_state()
+        self._ensure_compiled()
         self.logger.log_hyperparams(self.config)
 
         batches = self.data.train_batches()
@@ -194,6 +218,7 @@ class Trainer:
 
     def validate(self, *, stage: str = "val", epoch_tag: int = 0) -> dict:
         assert self.state is not None
+        self._ensure_compiled()
         splits = self.data.eval_splits() if stage == "val" else self.data.test_splits()
         # Fixed eval RNG per validation pass: metrics comparable across steps
         rng = jax.random.key(np.uint32(0x5EED ^ self.seed).item())
@@ -243,6 +268,6 @@ class Trainer:
         if self.state is None:
             self.state = self.init_state()
         self.state, meta = load_checkpoint(path, self.state)
-        self.state = jax.device_put(self.state, self._rep)
+        self.state = jax.device_put(self.state, self._state_shardings)
         if meta.get("data_state"):
             self.data.load_state_dict(meta["data_state"])
