@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .common import ModelFn, broadcast_right, mc_var, sample_lds_t
+from .common import ModelFn, broadcast_right, mc_var, protect_const, sample_lds_t
 from .discretization import Discretization
 from .distributions import discretized_normal_log_prob, normal_log_prob
 
@@ -123,7 +123,7 @@ class BFN:
         """Negative reconstruction log-likelihood at t=1, ``(n_samples, batch)``
         (reference: bsi/bfn.py:124-153; BSI-style CDF-difference discretization)."""
         batch = x.shape[0]
-        t = jnp.ones((n_samples, batch), x.dtype)
+        t = protect_const(jnp.ones((n_samples, batch), x.dtype))
         mu = self._sample_flow_distribution(rng, x, t)
         x_hat = self._predict_x_flat(model_fn, mu, t)
         scale = jnp.asarray(self.sigma_1, x.dtype)
@@ -217,7 +217,7 @@ class BFN:
     ) -> jnp.ndarray:
         """Additive-accuracy sampler as a ``lax.scan`` (reference: bsi/bfn.py:221-244)."""
         (mu, _), _ = self._sample_scan(model_fn, rng, n_samples, t, dtype, False)
-        return self._predict_x(model_fn, mu, jnp.ones((n_samples,), dtype))
+        return self._predict_x(model_fn, mu, protect_const(jnp.ones((n_samples,), dtype)))
 
     def sample_history(
         self,
@@ -232,7 +232,9 @@ class BFN:
         (mu_final, mu0), (mus_tail, x_hats, ys) = self._sample_scan(
             model_fn, rng, n_samples, t, dtype, True
         )
-        final_x_hat = self._predict_x(model_fn, mu_final, jnp.ones((n_samples,), dtype))
+        final_x_hat = self._predict_x(
+            model_fn, mu_final, protect_const(jnp.ones((n_samples,), dtype))
+        )
         mus = jnp.concatenate([mu0[None], mus_tail], axis=0)
         x_hats = jnp.concatenate([x_hats, final_x_hat[None]], axis=0)
         return mus, x_hats, ys

@@ -24,7 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .common import ModelFn, broadcast_right, mc_var, sample_lds_t
+from .common import ModelFn, broadcast_right, mc_var, protect_const, sample_lds_t
 from .discretization import Discretization
 from .distributions import (
     LogUniform,
@@ -163,7 +163,7 @@ class BSI:
         lambda_M = jnp.full((n_samples, batch), self.lambda_0 + self.alpha_M, x.dtype)
         mu = self._sample_q_mu_lambda(rng, x, lambda_M)
         x_hat = self._predict_x_flat(
-            model_fn, mu, jnp.ones((n_samples, batch), x.dtype)
+            model_fn, mu, protect_const(jnp.ones((n_samples, batch), x.dtype))
         )
         scale = jnp.asarray(1.0 / math.sqrt(self.alpha_R), x.dtype)
         if self.discretization is None:
@@ -255,7 +255,7 @@ class BSI:
         (reference: bsi/bsi.py:312-336).
         """
         mu, _ = self._sample_scan(model_fn, rng, n_samples, t, dtype, with_history=False)
-        return self._predict_x(model_fn, mu, jnp.ones((n_samples,), dtype))
+        return self._predict_x(model_fn, mu, protect_const(jnp.ones((n_samples,), dtype)))
 
     def sample_history(
         self,
@@ -274,7 +274,9 @@ class BSI:
         (mu_final, mu0), (mus_tail, x_hats, ys) = self._sample_scan(
             model_fn, rng, n_samples, t, dtype, with_history=True
         )
-        final_x_hat = self._predict_x(model_fn, mu_final, jnp.ones((n_samples,), dtype))
+        final_x_hat = self._predict_x(
+            model_fn, mu_final, protect_const(jnp.ones((n_samples,), dtype))
+        )
         mus = jnp.concatenate([mu0[None], mus_tail], axis=0)
         x_hats = jnp.concatenate([x_hats, final_x_hat[None]], axis=0)
         return mus, x_hats, ys

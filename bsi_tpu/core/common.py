@@ -21,6 +21,19 @@ import jax.numpy as jnp
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def protect_const(x: jnp.ndarray) -> jnp.ndarray:
+    """Wrap a trace-time-constant array in an optimization barrier.
+
+    Works around an XLA:TPU compiler crash (SIGILL in
+    TpuPriorityFusionQueue::NormalizedComputationCost) that triggers when a
+    constant timestep vector flows into a network whose parameters are traced
+    arguments — e.g. the t=1 decode in the reconstruction loss inside a jitted
+    eval step. The barrier keeps the constant as a runtime value so the
+    offending constant-propagated fusion never forms; runtime cost is nil.
+    """
+    return jax.lax.optimization_barrier(x)
+
+
 def broadcast_right(x: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarray:
     """Append trailing singleton dims to ``x`` so it broadcasts against ``other``."""
     assert other.ndim >= x.ndim, (x.shape, other.shape)

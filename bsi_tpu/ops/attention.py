@@ -43,6 +43,29 @@ def _xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+@jax.custom_vjp
+def _fused_attention(q, k, v):
+    from .flash_attention import flash_attention
+
+    return flash_attention(q, k, v)
+
+
+def _fused_attention_fwd(q, k, v):
+    return _fused_attention(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(residuals, g):
+    # Backward through the mathematically identical XLA formulation — the
+    # fused Pallas kernel stays forward-only (sampling/eval is the hot path;
+    # the training backward is XLA-fused and exact).
+    q, k, v = residuals
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -56,14 +79,13 @@ def multi_head_attention(
 
     Routes to the Pallas flash kernel when available and applicable (no
     dropout, TPU backend, aligned shapes); otherwise to the XLA path.
+    Differentiable either way (custom VJP on the fused path).
     """
     if dropout_rate == 0.0:
         if use_pallas is None:
             use_pallas = _pallas_applicable(q)
         if use_pallas:
-            from .flash_attention import flash_attention
-
-            return flash_attention(q, k, v)
+            return _fused_attention(q, k, v)
     return _xla_attention(q, k, v, dropout_rate=dropout_rate, dropout_rng=dropout_rng)
 
 

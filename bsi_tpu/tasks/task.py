@@ -144,6 +144,7 @@ def build_task(
         n_elbo_recon_samples=int(task_cfg.get("n_elbo_recon_samples", 1)),
         n_elbo_measure_samples=int(task_cfg.get("n_elbo_measure_samples", 1)),
         limit_eval_batches=trainer_cfg.get("limit_eval_batches"),
+        sanity_val_batches=int(trainer_cfg.get("num_sanity_val_steps", 0) or 0),
         run_dir=run_dir,
         logger=logger,
         config=config,

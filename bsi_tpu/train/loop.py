@@ -49,6 +49,7 @@ class Trainer:
         n_elbo_recon_samples: int = 1,
         n_elbo_measure_samples: int = 1,
         limit_eval_batches: Optional[int] = None,
+        sanity_val_batches: int = 0,
         run_dir: str | Path = "runs/default",
         logger: Optional[MetricLogger] = None,
         config: Optional[dict] = None,
@@ -69,6 +70,7 @@ class Trainer:
         self.val_check_interval = val_check_interval
         self.log_every = log_every
         self.limit_eval_batches = limit_eval_batches
+        self.sanity_val_batches = sanity_val_batches
         self.run_dir = Path(run_dir)
         self.logger = logger or MetricLogger(self.run_dir)
         self.config = config or {}
@@ -161,10 +163,26 @@ class Trainer:
         start_step = int(self.state.step)
         best_bpd = float("inf")
         last_metrics: dict = {}
+
+        if self.sanity_val_batches and start_step == 0:
+            # Catch eval-path breakage before a long training run (the
+            # num_sanity_val_steps analogue); metrics are discarded
+            limit, self.limit_eval_batches = self.limit_eval_batches, self.sanity_val_batches
+            cbs, self.callbacks = self.callbacks, ()
+            try:
+                self.validate()
+            finally:
+                self.limit_eval_batches, self.callbacks = limit, cbs
+
         t_log = time.time()
 
         from bsi_tpu.parallel.distributed import put_host_batch
 
+        # Input pipeline note: the gather is an in-RAM vectorized index and
+        # device_put + step dispatch are async, so the host stays ahead of the
+        # device without a worker thread — and the data-stream cursor in
+        # checkpoints stays exactly in sync with consumed batches. For
+        # expensive host pipelines see bsi_tpu.data.prefetch.DevicePrefetcher.
         for step in range(start_step, self.max_steps):
             batch = put_host_batch(self.mesh, next(batches))
             self.state, metrics = self._train_step(self.state, batch)
