@@ -79,7 +79,7 @@ class ArrayDataModule:
         """Per-batch postprocessing. uint8 storage (memory-frugal for the
         large ImageNet sets) is normalized to [-1, 1] float32 on gather."""
         if batch.dtype == np.uint8:
-            return (batch.astype(np.float32) / 255.0) * 2.0 - 1.0
+            return batch.astype(np.float32) * (2.0 / 255.0) - 1.0
         return batch
 
     def train_batches(self, per_host_batch: Optional[int] = None) -> Iterator[np.ndarray]:
@@ -89,11 +89,20 @@ class ArrayDataModule:
         if per_host_batch is None:
             base = self.batch_size // self.num_shards
             per_host_batch = base + (self.shard_id < self.batch_size % self.num_shards)
+        uint8 = self._train.dtype == np.uint8
         while True:
             idx = self.stream.next_indices(per_host_batch)
-            batch = self._prepare(self._train[idx])
-            if self.augment_flip:
-                flip = self._aug_rng.random(len(batch)) < 0.5
+            flip = (
+                self._aug_rng.random(len(idx)) < 0.5 if self.augment_flip else None
+            )
+            if uint8:
+                # fused native gather + normalize + flip (see data/fastgather.py)
+                from .fastgather import gather_normalize
+
+                yield gather_normalize(self._train, idx, flip)
+                continue
+            batch = self._train[idx]
+            if flip is not None:
                 batch = np.where(flip[:, None, None, None], batch[:, :, ::-1, :], batch)
             yield batch
 
