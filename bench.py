@@ -57,13 +57,15 @@ def main() -> None:
     model_fn = lambda m, tt: model.apply(params, m, tt)
     sample = jax.jit(lambda rng: algo.sample(model_fn, rng, BATCH))
 
-    # Warmup / compile
-    sample(jax.random.key(1)).block_until_ready()
+    import numpy as np
+
+    # Warmup / compile (host fetch forces true completion through the runtime)
+    np.asarray(sample(jax.random.key(1)))
 
     n_iters = 3
     start = time.perf_counter()
     for i in range(n_iters):
-        sample(jax.random.key(2 + i)).block_until_ready()
+        np.asarray(sample(jax.random.key(2 + i)))
     elapsed = time.perf_counter() - start
 
     samples_per_sec = n_iters * BATCH / elapsed
