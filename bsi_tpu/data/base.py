@@ -56,7 +56,7 @@ class ArrayDataModule:
         # hard-coded split seeds, bsi/data/cifar10.py:75,86)
         rng = np.random.default_rng(np.random.SeedSequence([seed, 60321]))
         k = min(train_eval_size, len(train))
-        self._train_eval_idx = rng.choice(len(train), size=k, replace=False)
+        self._train_eval_idx = np.sort(rng.choice(len(train), size=k, replace=False))
         self.stream = InfiniteIndexStream(
             len(train), seed, shard_id=shard_id, num_shards=num_shards
         )
@@ -89,31 +89,36 @@ class ArrayDataModule:
         if per_host_batch is None:
             base = self.batch_size // self.num_shards
             per_host_batch = base + (self.shard_id < self.batch_size % self.num_shards)
-        uint8 = self._train.dtype == np.uint8
+        fused = self._train.dtype == np.uint8 and isinstance(self._train, np.ndarray)
         while True:
             idx = self.stream.next_indices(per_host_batch)
             flip = (
                 self._aug_rng.random(len(idx)) < 0.5 if self.augment_flip else None
             )
-            if uint8:
+            if fused:
                 # fused native gather + normalize + flip (see data/fastgather.py)
                 from .fastgather import gather_normalize
 
                 yield gather_normalize(self._train, idx, flip)
                 continue
-            batch = self._train[idx]
+            batch = self._prepare(self._train[idx])
             if flip is not None:
                 batch = np.where(flip[:, None, None, None], batch[:, :, ::-1, :], batch)
             yield batch
 
     # ------------------------------------------------------------------ eval
 
+    def _train_eval_subset(self):
+        if hasattr(self._train, "subset"):  # lazy h5 source stays lazy
+            return self._train.subset(self._train_eval_idx)
+        return self._train[self._train_eval_idx]
+
     def eval_splits(self) -> dict[str, np.ndarray]:
         """Named eval splits; 'train' is the fixed train subset."""
-        return {"val": self._val, "train": self._train[self._train_eval_idx]}
+        return {"val": self._val, "train": self._train_eval_subset()}
 
     def test_splits(self) -> dict[str, np.ndarray]:
-        return {"test": self._test, "train": self._train[self._train_eval_idx]}
+        return {"test": self._test, "train": self._train_eval_subset()}
 
     def eval_batches(
         self, split: np.ndarray, batch_size: Optional[int] = None

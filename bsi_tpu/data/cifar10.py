@@ -61,37 +61,47 @@ class CIFAR10DataModule(ArrayDataModule):
         augment_flip: bool = False,
         val_fraction: float = 0.1,
         train_eval_size: int = 5000,
+        preload: bool = True,
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
     ):
+        import h5py
+
         root_path = Path(root)
         cache = root_path / "cifar10.h5"
-        if cache.exists():
-            import h5py
-
-            with h5py.File(cache, "r") as f:
-                train_full = f["train"][:]
-                test = f["test"][:]
-        else:
-            train_full, test = _load_pickle_batches(root_path)
+        if not cache.exists():
+            train_full, test_arr = _load_pickle_batches(root_path)
             root_path.mkdir(parents=True, exist_ok=True)
-            import h5py
-
             with h5py.File(cache, "w") as f:
                 f.create_dataset("train", data=train_full)
-                f.create_dataset("test", data=test)
+                f.create_dataset("test", data=test_arr)
+
+        with h5py.File(cache, "r") as f:
+            n_train_full = f["train"].shape[0]
 
         # Deterministic 90/10 split, independent of the run seed so all hosts
         # and resumed runs agree (reference: bsi/data/cifar10.py:75)
         rng = np.random.default_rng(SPLIT_SEED)
-        perm = rng.permutation(len(train_full))
-        n_val = int(len(train_full) * val_fraction)
-        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        perm = rng.permutation(n_train_full)
+        n_val = int(n_train_full * val_fraction)
+        val_idx, train_idx = np.sort(perm[:n_val]), np.sort(perm[n_val:])
+
+        if preload:
+            with h5py.File(cache, "r") as f:
+                train_full = f["train"][:]
+                test = f["test"][:]
+            train, val = train_full[train_idx], train_full[val_idx]
+        else:
+            from .h5source import H5LazySource
+
+            train = H5LazySource(cache, "train", subset=train_idx)
+            val = H5LazySource(cache, "train", subset=val_idx)
+            test = H5LazySource(cache, "test")
 
         super().__init__(
-            train_full[train_idx],
-            train_full[val_idx],
+            train,
+            val,
             test,
             train_eval_size=train_eval_size,
             batch_size=batch_size,

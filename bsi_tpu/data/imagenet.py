@@ -69,10 +69,13 @@ class ImageNetDataModule(ArrayDataModule):
         eval_batch_size: Optional[int] = None,
         val_fraction: float = 0.01,
         train_eval_size: int = 5000,
+        preload: bool = True,
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
     ):
+        import h5py
+
         self.name = f"imagenet{n}"
         self.n = n
         root_path = Path(root)
@@ -81,20 +84,30 @@ class ImageNetDataModule(ArrayDataModule):
             root_path.mkdir(parents=True, exist_ok=True)
             _build_cache(root_path, n, cache)
 
-        import h5py
-
         with h5py.File(cache, "r") as f:
-            train_full = f["train"][:]  # uint8, normalized on gather
-            test = f["test"][:]
+            n_train_full = f["train"].shape[0]
 
         rng = np.random.default_rng(SPLIT_SEED)
-        perm = rng.permutation(len(train_full))
-        n_val = int(len(train_full) * val_fraction)
-        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        perm = rng.permutation(n_train_full)
+        n_val = int(n_train_full * val_fraction)
+        val_idx, train_idx = np.sort(perm[:n_val]), np.sort(perm[n_val:])
+
+        if preload:
+            with h5py.File(cache, "r") as f:
+                train_full = f["train"][:]  # uint8, normalized on gather
+                test = f["test"][:]
+            train, val = train_full[train_idx], train_full[val_idx]
+        else:
+            # the reference's in_memory: no mode for ImageNet64
+            from .h5source import H5LazySource
+
+            train = H5LazySource(cache, "train", subset=train_idx)
+            val = H5LazySource(cache, "train", subset=val_idx)
+            test = H5LazySource(cache, "test")
 
         super().__init__(
-            train_full[train_idx],
-            train_full[val_idx],
+            train,
+            val,
             test,
             train_eval_size=train_eval_size,
             batch_size=batch_size,

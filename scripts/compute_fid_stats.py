@@ -55,18 +55,21 @@ def main() -> None:
     if args.split == "train":
         # Full training data (including the val split): the reference computes
         # train stats on the complete train set (scripts/compute_fid_stats.py:40-43)
-        arrays = np.concatenate([data._train, data._val])
+        sources = [data._train, data._val]
     elif args.split == "val":
-        arrays = data.eval_splits()["val"]
+        sources = [data.eval_splits()["val"]]
     else:
-        arrays = data.test_splits()["test"]
+        sources = [data.test_splits()["test"]]
 
+    total = sum(len(s) for s in sources)
     stats = FeatureStats(2048)
-    for start in range(0, len(arrays), args.batch_size):
-        batch = data._prepare(arrays[start : start + args.batch_size])
-        imgs = images_to_uint8(np.asarray(disc.to_unit_interval(batch)))
-        stats.update(np.asarray(embed(imgs)))
-        print(f"{stats.n}/{len(arrays)}", end="\r")
+    for arrays in sources:
+        for start in range(0, len(arrays), args.batch_size):
+            idx = np.arange(start, min(start + args.batch_size, len(arrays)))
+            batch = data._prepare(arrays[idx])
+            imgs = images_to_uint8(np.asarray(disc.to_unit_interval(batch)))
+            stats.update(np.asarray(embed(imgs)))
+            print(f"{stats.n}/{total}", end="\r")
 
     out = fid_stats_path(args.out_root, data.short_name(), args.split)
     stats.save_npz(out)

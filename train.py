@@ -84,14 +84,25 @@ def run_one(config: dict) -> dict:
 
 
 def expand_sweep(loader: ConfigLoader, overrides: list[str]) -> list[list[str]]:
-    """Expand the chosen config's ``sweep`` table (and comma-lists in CLI
-    overrides) into a cartesian product of override lists."""
-    base = loader.load("train", overrides)
-    sweep = base.get("sweep") or {}
+    """Expand the chosen config's ``sweep`` table and comma-lists in CLI
+    overrides (``seed=1,2 task=vdm,bsi``) into a cartesian product."""
+    base_overrides: list[str] = []
     axes: list[list[str]] = []
-    for key, values in sweep.items():
-        axes.append([f"{key}={v}" for v in values])
-    expanded: list[list[str]] = [overrides]
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        # a bare top-level comma list (no brackets/braces) sweeps that key
+        if "," in raw and not any(ch in raw for ch in "[]{}"):
+            axes.append([f"{key}={v}" for v in raw.split(",")])
+        else:
+            base_overrides.append(ov)
+
+    probe = base_overrides + [axis[0] for axis in axes]
+    base = loader.load("train", probe)
+    for key, values in (base.get("sweep") or {}).items():
+        if not any(axis[0].startswith(f"{key}=") for axis in axes):
+            axes.append([f"{key}={v}" for v in values])
+
+    expanded: list[list[str]] = [base_overrides]
     for axis in axes:
         expanded = [prev + [choice] for prev in expanded for choice in axis]
     return expanded
