@@ -68,21 +68,6 @@ def sample_lds_t(
     return jax.random.uniform(rng, (n_samples, batch_size), dtype=dtype)
 
 
-def flat_map_model(
-    model_fn: ModelFn, x: jnp.ndarray, t: jnp.ndarray, n_samples: int
-) -> jnp.ndarray:
-    """Apply ``model_fn`` to a ``(n_samples, batch, *data)`` tensor by flattening.
-
-    Keeps the model call a single large batched forward (MXU-friendly) instead
-    of a loop over Monte Carlo samples.
-    """
-    lead = x.shape[:2]
-    x_flat = x.reshape((lead[0] * lead[1],) + x.shape[2:])
-    t_flat = t.reshape(-1)
-    out = model_fn(x_flat, t_flat)
-    return out.reshape(lead + out.shape[1:])
-
-
 def mc_var(values: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """Variance of the Monte Carlo mean estimator from per-sample values.
 

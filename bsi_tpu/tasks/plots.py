@@ -76,15 +76,25 @@ class PlotsCallback:
         strip = hx.transpose(1, 2, 0, 3, 4).reshape(n * h, k1 * w, c)
         images[f"{stage}/histories"] = strip
 
-        # denoising panels at noise-level quantiles (BSI/BFN-style algos)
-        if hasattr(algo, "_sample_q_mu_lambda"):
+        # denoising panels at noise-level quantiles (all three algorithms
+        # noise differently; reference: Plots in bsi/tasks/{bsi,vdm,bfn}.py)
+        noiser = None
+        if hasattr(algo, "_sample_q_mu_lambda"):  # BSI: noise at lambda(t)
+            noiser = lambda r, x, t: algo._sample_q_mu_lambda(
+                r, x, algo.p_lambda.icdf(t)
+            )
+        elif hasattr(algo, "_sample_zt_given_x"):  # VDM: forward marginal
+            noiser = algo._sample_zt_given_x
+        elif hasattr(algo, "_sample_flow_distribution"):  # BFN: flow dist
+            noiser = algo._sample_flow_distribution
+        if noiser is not None:
             quantiles = jnp.linspace(0.0, 1.0, self.n_quantiles)
             splits = trainer.data.eval_splits()
-            base = jnp.asarray(splits["train"][:8], jnp.float32)
-            lam = jnp.broadcast_to(
-                algo.p_lambda.icdf(quantiles)[:, None], (self.n_quantiles, len(base))
+            base = jnp.asarray(splits["train"][np.arange(8)], jnp.float32)
+            t_grid = jnp.broadcast_to(
+                quantiles[:, None], (self.n_quantiles, len(base))
             )
-            mu = algo._sample_q_mu_lambda(rng, base, lam)
+            mu = noiser(rng, base, t_grid)
             flat_mu = mu.reshape((-1,) + mu.shape[2:])
             flat_t = jnp.repeat(quantiles, len(base))
             x_hat = algo._predict_x(model_fn, flat_mu, flat_t)

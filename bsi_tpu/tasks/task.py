@@ -33,7 +33,13 @@ from bsi_tpu.utils.logging import MetricLogger
 
 
 def build_model(model_cfg: dict, data_shape: tuple[int, ...], dtype=None):
-    return instantiate(model_cfg, data_shape=tuple(data_shape), dtype=dtype)
+    cfg = dict(model_cfg)
+    # optional sub-components selected as 'none' compose to a target-less
+    # stub dict; the model expects None
+    for key in ("fourier_features", "pos_emb"):
+        if isinstance(cfg.get(key), dict) and "_target_" not in cfg[key]:
+            cfg[key] = None
+    return instantiate(cfg, data_shape=tuple(data_shape), dtype=dtype)
 
 
 def build_algorithm(algo_cfg: dict, data_shape: tuple[int, ...], discretization):

@@ -239,7 +239,7 @@ class Trainer:
         self._ensure_compiled()
         splits = self.data.eval_splits() if stage == "val" else self.data.test_splits()
         # Fixed eval RNG per validation pass: metrics comparable across steps
-        rng = jax.random.key(np.uint32(0x5EED ^ self.seed).item())
+        rng = jax.random.key((0x5EED ^ self.seed) % (2**63))
         metrics: dict[str, float] = {}
         for name, split in splits.items():
             sums = {"elbo_sum": 0.0, "bpd_sum": 0.0, "count": 0.0}
