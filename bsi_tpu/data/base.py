@@ -42,6 +42,8 @@ class ArrayDataModule:
         augment_flip: bool = False,
         shard_id: int = 0,
         num_shards: int = 1,
+        preload: bool = True,  # accepted for config uniformity; in-memory
+        # array modules are always "preloaded" (h5 modules honor it)
     ):
         self._train = train
         self._val = val
