@@ -14,7 +14,6 @@ resolved config; resume with ``from_ckpt=<dir>``.
 from __future__ import annotations
 
 import argparse
-import itertools
 import json
 import sys
 import time
