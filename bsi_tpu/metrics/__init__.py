@@ -1,6 +1,7 @@
 from .fid import (
     FeatureStats,
     FIDScore,
+    build_validation_fid,
     fid_from_stats,
     fid_stats_path,
     frechet_distance,
@@ -17,6 +18,7 @@ from .inception import (
 __all__ = [
     "FeatureStats",
     "FIDScore",
+    "build_validation_fid",
     "frechet_distance",
     "fid_from_stats",
     "fid_stats_path",

@@ -118,3 +118,57 @@ def images_to_uint8(batch01: np.ndarray) -> np.ndarray:
     """[0,1]-clamped float images -> uint8, the FID input convention
     (reference: scripts/eval_fid.py:164-166)."""
     return (255 * np.clip(batch01, 0.0, 1.0)).astype(np.uint8)
+
+
+def build_validation_fid(
+    data,
+    *,
+    stages: tuple[str, ...] = ("val", "train", "test"),
+    stats_root: str | Path = ".",
+    weights_path: Optional[str | Path] = None,
+    embed_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    block_size: int = 256,
+    warn: Optional[Callable[[str], None]] = None,
+) -> dict[str, "FIDScore"]:
+    """Per-stage FIDScore metrics for training-time validation.
+
+    Mirrors the reference's lazy metric construction (bsi/tasks/bsi.py:168-178):
+    FID is only active for 3-channel image data, and only for stages whose
+    precomputed real statistics exist at ``<stats_root>/data/fid-stats/
+    <dataset>/<stage>.npz``; missing stats produce a warning, not an error.
+    ``embed_fn`` overrides the InceptionV3 embedder (tests use a stub); when
+    absent, inception weights are located via :func:`default_weights_path`.
+    Returns ``{}`` when FID cannot be computed, so callers can always pass the
+    result to :class:`~bsi_tpu.train.loop.Trainer`.
+    """
+    warn = warn or (lambda msg: None)
+    shape = data.data_shape()
+    if len(shape) != 3 or shape[-1] != 3:
+        return {}
+
+    stats: dict[str, FeatureStats] = {}
+    for stage in stages:
+        path = fid_stats_path(stats_root, data.short_name(), stage)
+        if path.is_file():
+            stats[stage] = FeatureStats.from_npz(path)
+        else:
+            warn(f"No precomputed FID statistics for {stage} found.")
+    if not stats:
+        return {}
+
+    if embed_fn is None:
+        from .inception import default_weights_path, load_params, make_embed_fn
+
+        weights = weights_path or default_weights_path()
+        if weights is None:
+            warn(
+                "FID stats found but no InceptionV3 weights; set "
+                "BSI_TPU_INCEPTION_WEIGHTS to enable validation-time FID."
+            )
+            return {}
+        embed_fn = make_embed_fn(load_params(weights))
+
+    return {
+        stage: FIDScore(embed_fn, real, block_size=block_size)
+        for stage, real in stats.items()
+    }

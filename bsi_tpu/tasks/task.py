@@ -121,6 +121,20 @@ def build_task(
 
         callbacks = tuple(callbacks) + (PlotsCallback(),)
 
+    # Validation-time FID (reference: bsi/tasks/bsi.py:168-178) — active when
+    # precomputed stats + inception weights exist, silently absent otherwise
+    fid_metrics = None
+    if trainer_cfg.get("fid", True):
+        import logging
+
+        from bsi_tpu.metrics.fid import build_validation_fid
+
+        fid_metrics = build_validation_fid(
+            data,
+            stats_root=trainer_cfg.get("fid_stats_root", "."),
+            warn=logging.getLogger(__name__).warning,
+        )
+
     profiler = None
     if trainer_cfg.get("profile_steps"):
         from bsi_tpu.utils.profiling import StepWindowProfiler
@@ -160,4 +174,5 @@ def build_task(
         preemption=preemption,
         profiler=profiler,
         fsdp=bool(trainer_cfg.get("fsdp", False)),
+        fid_metrics=fid_metrics,
     )

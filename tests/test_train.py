@@ -176,3 +176,72 @@ def test_validation_reproducible(tmp_path):
     m_a = t.validate()
     m_b = t.validate()
     npt.assert_allclose(m_a["val/bpd"], m_b["val/bpd"], rtol=1e-7)
+
+
+def _stub_embed(imgs_uint8):
+    """Deterministic 6-d 'inception' stub: per-channel means and stds."""
+    x = np.asarray(imgs_uint8, np.float64) / 255.0
+    return np.concatenate([x.mean(axis=(1, 2)), x.std(axis=(1, 2))], axis=1)
+
+
+def test_fid_in_validation_end_to_end(tmp_path):
+    """FID flows through Trainer.validate: samples drawn per eval batch,
+    distance logged per stage, accumulator reset (reference semantics:
+    bsi/tasks/bsi.py:168-178,218-264)."""
+    from bsi_tpu.metrics import (
+        FeatureStats,
+        build_validation_fid,
+        fid_stats_path,
+        images_to_uint8,
+    )
+
+    data = SyntheticDataModule(
+        n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=16, train_eval_size=16
+    )
+    # Precompute "real" statistics from the val split through the stub embedder
+    real = FeatureStats(6)
+    val01 = (np.asarray(data.eval_splits()["val"], np.float64) + 1) / 2
+    real.update(_stub_embed(images_to_uint8(val01)))
+    real.save_npz(fid_stats_path(tmp_path, data.short_name(), "val"))
+
+    fid_metrics = build_validation_fid(data, stats_root=tmp_path, embed_fn=_stub_embed)
+    assert set(fid_metrics) == {"val"}  # no stats for train/test -> no metric
+
+    trainer = make_trainer(
+        tmp_path, data=data, fid_metrics=fid_metrics, max_steps=6, val_check_interval=6
+    )
+    metrics = trainer.fit()
+    assert "val/fid-6" in metrics and math.isfinite(metrics["val/fid-6"])
+    assert metrics["val/fid-6"] > -1e-6  # a squared distance, up to fp error
+    assert fid_metrics["val"].fake_stats.n == 0  # reset after compute
+    assert "fid-6" in (tmp_path / "run" / "metrics.jsonl").read_text()
+
+    # FID only applies to 3-channel image data (reference: bsi/tasks/bsi.py:170)
+    gray = SyntheticDataModule(n_train=8, n_val=4, data_shape=(8, 8, 1))
+    assert build_validation_fid(gray, stats_root=tmp_path, embed_fn=_stub_embed) == {}
+
+
+def test_best_checkpoint_monotonic_across_restore(tmp_path):
+    """best_bpd persists in checkpoint meta, so a requeued run never
+    overwrites ckpt_best with a worse model."""
+    t1 = make_trainer(tmp_path / "a", max_steps=6, val_check_interval=3)
+    t1.fit()
+    assert math.isfinite(t1.best_bpd)
+    t1.best_bpd = -1.0  # pretend an earlier, better validation existed
+    ckpt = t1.save("resume")
+
+    t2 = make_trainer(tmp_path / "b", max_steps=12, val_check_interval=3)
+    t2.restore(ckpt)
+    assert t2.best_bpd == -1.0
+    t2.fit()  # steps 6..12; every real bpd is worse than the restored best
+    assert not (tmp_path / "b" / "run" / "ckpt_best").exists()
+    assert (tmp_path / "b" / "run" / "ckpt_last").exists()
+
+
+def test_batch_divisibility_guard(tmp_path):
+    data = SyntheticDataModule(
+        n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=6, train_eval_size=16
+    )
+    t = make_trainer(tmp_path, data=data, mesh=make_mesh(4))
+    with pytest.raises(ValueError, match="divisible"):
+        t.fit()
