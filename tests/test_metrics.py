@@ -179,3 +179,234 @@ def test_avg_pool_count_include_pad_matches_torch():
         .numpy()
     )
     npt.assert_allclose(got, want, atol=1e-6)
+
+
+# --------------------------------------------------------- full-graph parity
+
+
+def _torch_pt_inception_mirror(torch):
+    """An independent torch transcription of the pt_inception FID network
+    (pytorch-fid's InceptionA/B/C/D/E_1/E_2 wiring over torchvision's stem),
+    with submodule names matching the official state-dict keys. Shapes come
+    from the shared ``_conv_specs`` table; strides/paddings/branch orders are
+    written here from the torch network definitions, so a wiring mistake in
+    ``bsi_tpu.metrics.inception`` shows up as a feature mismatch."""
+    from torch import nn
+    import torch.nn.functional as F
+
+    from bsi_tpu.metrics.inception import _conv_specs
+
+    spec = {name: (cin, cout, k) for name, cin, cout, k in _conv_specs()}
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, name, stride=1, padding=0):
+            super().__init__()
+            cin, cout, k = spec[name]
+            self.conv = nn.Conv2d(cin, cout, k, stride=stride, padding=padding, bias=False)
+            self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    class InceptionA(nn.Module):
+        def __init__(self, n):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(f"{n}.branch1x1")
+            self.branch5x5_1 = BasicConv2d(f"{n}.branch5x5_1")
+            self.branch5x5_2 = BasicConv2d(f"{n}.branch5x5_2", padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(f"{n}.branch3x3dbl_1")
+            self.branch3x3dbl_2 = BasicConv2d(f"{n}.branch3x3dbl_2", padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(f"{n}.branch3x3dbl_3", padding=1)
+            self.branch_pool = BasicConv2d(f"{n}.branch_pool")
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(
+                F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+            )
+            return torch.cat([b1, b5, bd, bp], 1)
+
+    class InceptionB(nn.Module):
+        def __init__(self, n):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(f"{n}.branch3x3", stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(f"{n}.branch3x3dbl_1")
+            self.branch3x3dbl_2 = BasicConv2d(f"{n}.branch3x3dbl_2", padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(f"{n}.branch3x3dbl_3", stride=2)
+
+        def forward(self, x):
+            b3 = self.branch3x3(x)
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat([b3, bd, F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionC(nn.Module):
+        def __init__(self, n):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(f"{n}.branch1x1")
+            self.branch7x7_1 = BasicConv2d(f"{n}.branch7x7_1")
+            self.branch7x7_2 = BasicConv2d(f"{n}.branch7x7_2", padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(f"{n}.branch7x7_3", padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(f"{n}.branch7x7dbl_1")
+            self.branch7x7dbl_2 = BasicConv2d(f"{n}.branch7x7dbl_2", padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(f"{n}.branch7x7dbl_3", padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(f"{n}.branch7x7dbl_4", padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(f"{n}.branch7x7dbl_5", padding=(0, 3))
+            self.branch_pool = BasicConv2d(f"{n}.branch_pool")
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(
+                self.branch7x7dbl_4(
+                    self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))
+                )
+            )
+            bp = self.branch_pool(
+                F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+            )
+            return torch.cat([b1, b7, bd, bp], 1)
+
+    class InceptionD(nn.Module):
+        def __init__(self, n):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(f"{n}.branch3x3_1")
+            self.branch3x3_2 = BasicConv2d(f"{n}.branch3x3_2", stride=2)
+            self.branch7x7x3_1 = BasicConv2d(f"{n}.branch7x7x3_1")
+            self.branch7x7x3_2 = BasicConv2d(f"{n}.branch7x7x3_2", padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(f"{n}.branch7x7x3_3", padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(f"{n}.branch7x7x3_4", stride=2)
+
+        def forward(self, x):
+            b3 = self.branch3x3_2(self.branch3x3_1(x))
+            b7 = self.branch7x7x3_4(
+                self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x)))
+            )
+            return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionE(nn.Module):
+        def __init__(self, n, pool):
+            super().__init__()
+            self.pool = pool
+            self.branch1x1 = BasicConv2d(f"{n}.branch1x1")
+            self.branch3x3_1 = BasicConv2d(f"{n}.branch3x3_1")
+            self.branch3x3_2a = BasicConv2d(f"{n}.branch3x3_2a", padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(f"{n}.branch3x3_2b", padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(f"{n}.branch3x3dbl_1")
+            self.branch3x3dbl_2 = BasicConv2d(f"{n}.branch3x3dbl_2", padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(f"{n}.branch3x3dbl_3a", padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(f"{n}.branch3x3dbl_3b", padding=(1, 0))
+            self.branch_pool = BasicConv2d(f"{n}.branch_pool")
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            if self.pool == "avg":
+                pooled = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+            else:
+                pooled = F.max_pool2d(x, 3, stride=1, padding=1)
+            return torch.cat([b1, b3, bd, self.branch_pool(pooled)], 1)
+
+    class Mirror(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d("Conv2d_1a_3x3", stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d("Conv2d_2a_3x3")
+            self.Conv2d_2b_3x3 = BasicConv2d("Conv2d_2b_3x3", padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d("Conv2d_3b_1x1")
+            self.Conv2d_4a_3x3 = BasicConv2d("Conv2d_4a_3x3")
+            self.Mixed_5b = InceptionA("Mixed_5b")
+            self.Mixed_5c = InceptionA("Mixed_5c")
+            self.Mixed_5d = InceptionA("Mixed_5d")
+            self.Mixed_6a = InceptionB("Mixed_6a")
+            self.Mixed_6b = InceptionC("Mixed_6b")
+            self.Mixed_6c = InceptionC("Mixed_6c")
+            self.Mixed_6d = InceptionC("Mixed_6d")
+            self.Mixed_6e = InceptionC("Mixed_6e")
+            self.Mixed_7a = InceptionD("Mixed_7a")
+            self.Mixed_7b = InceptionE("Mixed_7b", pool="avg")
+            self.Mixed_7c = InceptionE("Mixed_7c", pool="max")
+
+        def forward(self, x01):
+            # pytorch-fid wrapper: bilinear 299 resize + [0,1] -> [-1,1]
+            x = F.interpolate(x01, size=(299, 299), mode="bilinear", align_corners=False)
+            x = 2 * x - 1
+            x = self.Conv2d_1a_3x3(x)
+            x = self.Conv2d_2a_3x3(x)
+            x = self.Conv2d_2b_3x3(x)
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_3b_1x1(x)
+            x = self.Conv2d_4a_3x3(x)
+            x = F.max_pool2d(x, 3, stride=2)
+            for name in [
+                "Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                "Mixed_7c",
+            ]:
+                x = getattr(self, name)(x)
+            return F.adaptive_avg_pool2d(x, 1).flatten(1)
+
+    import torch
+
+    return Mirror()
+
+
+def _rich_random_params(seed=0):
+    """Random weights with non-trivial BN statistics (unlike
+    ``random_params``, whose identity BN would mask affine-fold mistakes)."""
+    from bsi_tpu.metrics.inception import _conv_specs
+
+    rng = np.random.default_rng(seed)
+    params = {}
+    for name, cin, cout, (kh, kw) in _conv_specs():
+        fan_in = cin * kh * kw
+        params[f"{name}.conv.weight"] = rng.normal(
+            0, fan_in**-0.5, size=(kh, kw, cin, cout)
+        )
+        params[f"{name}.bn.weight"] = rng.uniform(0.5, 1.5, cout)
+        params[f"{name}.bn.bias"] = rng.normal(0, 0.2, cout)
+        params[f"{name}.bn.running_mean"] = rng.normal(0, 0.1, cout)
+        params[f"{name}.bn.running_var"] = rng.uniform(0.5, 1.5, cout)
+    return {k: v.astype(np.float64) for k, v in params.items()}
+
+
+def test_inception_full_graph_matches_torch_mirror():
+    """End-to-end 2048-d feature parity (resize + stem + all 11 mixed blocks +
+    pooling) between the JAX network and an independent torch transcription of
+    pt_inception, under identical random weights. Closes the wiring risk the
+    leaf tests (conv/BN, resize, pooling) cannot see: branch order, stride
+    placement, padding orientation, concat layout."""
+    torch = pytest.importorskip("torch")
+
+    from bsi_tpu.metrics.inception import convert_torch_state_dict
+
+    params = _rich_random_params(0)
+    mirror = _torch_pt_inception_mirror(torch).double().eval()
+    state = {}
+    for key, value in params.items():
+        if key.endswith("conv.weight"):
+            state[key] = torch.tensor(value.transpose(3, 2, 0, 1))
+        else:
+            state[key] = torch.tensor(value)
+    missing, unexpected = mirror.load_state_dict(state, strict=False)
+    assert not unexpected, unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing), missing
+
+    x01 = np.random.default_rng(7).random((2, 67, 53, 3))  # odd dims stress padding
+    feats_jax = np.asarray(
+        inception_features({k: jnp.asarray(v) for k, v in params.items()}, jnp.asarray(x01))
+    )
+    with torch.no_grad():
+        feats_torch = mirror(torch.tensor(x01.transpose(0, 3, 1, 2))).numpy()
+    assert feats_jax.shape == feats_torch.shape == (2, 2048)
+    npt.assert_allclose(feats_jax, feats_torch, rtol=1e-6, atol=1e-7)
+
+    # and the state-dict converter (used for the real pt_inception weights)
+    # inverts the torch layout (exactly, up to its float32 storage cast)
+    roundtrip = convert_torch_state_dict(mirror.state_dict())
+    for key, value in params.items():
+        npt.assert_array_equal(roundtrip[key], value.astype(np.float32))
