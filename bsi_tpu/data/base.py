@@ -50,6 +50,20 @@ class ArrayDataModule:
         self._test = test if test is not None else val
         self.batch_size = batch_size
         self.eval_batch_size = eval_batch_size or batch_size
+        if num_shards > 1:
+            # Sharded global arrays require equal per-host shards, so batch
+            # sizes must divide over hosts (replaces the reference's
+            # remainder-distributing rank split, bsi/data/h5image.py:308-312)
+            for label, bs in (
+                ("batch_size", self.batch_size),
+                ("eval_batch_size", self.eval_batch_size),
+            ):
+                if bs % num_shards != 0:
+                    raise ValueError(
+                        f"{label}={bs} is not divisible by num_shards="
+                        f"{num_shards}; multi-host batches must be equal per "
+                        f"host"
+                    )
         self.seed = seed
         self.augment_flip = augment_flip
         self.shard_id = shard_id
@@ -85,12 +99,10 @@ class ArrayDataModule:
         return batch
 
     def train_batches(self, per_host_batch: Optional[int] = None) -> Iterator[np.ndarray]:
-        """Endless stream of training batches (this host's shard of the
-        global batch; the global batch is split across hosts like the
-        reference splits it across ranks, bsi/data/h5image.py:308-312)."""
+        """Endless stream of training batches (this host's equal shard of the
+        global batch; divisibility is guaranteed by the constructor guard)."""
         if per_host_batch is None:
-            base = self.batch_size // self.num_shards
-            per_host_batch = base + (self.shard_id < self.batch_size % self.num_shards)
+            per_host_batch = self.batch_size // self.num_shards
         fused = self._train.dtype == np.uint8 and isinstance(self._train, np.ndarray)
         while True:
             idx = self.stream.next_indices(per_host_batch)
@@ -126,10 +138,18 @@ class ArrayDataModule:
         self, split: np.ndarray, batch_size: Optional[int] = None
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Fixed-shape (batch, mask) pairs covering this host's shard of the
-        split exactly once."""
-        bs = batch_size or self.eval_batch_size
+        split exactly once.
+
+        ``eval_batch_size`` is the *global* eval batch; each host feeds its
+        ``1/num_shards`` slice per step. All hosts yield the same number of
+        batches (fully-masked tail batches where a shard runs out early), so
+        the SPMD eval loop stays in lockstep across processes.
+        """
+        bs = (batch_size or self.eval_batch_size) // self.num_shards
         idx = eval_shard(len(split), self.shard_id, self.num_shards)
-        for chunk, mask in padded_batches(idx, bs):
+        largest_shard = -(-len(split) // self.num_shards)
+        num_batches = max(-(-largest_shard // bs), 1)
+        for chunk, mask in padded_batches(idx, bs, num_batches=num_batches):
             yield self._prepare(split[chunk]), mask
 
     # ------------------------------------------------------------- state

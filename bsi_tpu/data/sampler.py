@@ -15,7 +15,7 @@ TPU-native replacements for the reference's samplers (bsi/data/sampler.py):
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 
@@ -77,14 +77,17 @@ def eval_shard(n: int, shard_id: int = 0, num_shards: int = 1) -> np.ndarray:
 
 
 def padded_batches(
-    indices: np.ndarray, batch_size: int
+    indices: np.ndarray, batch_size: int, num_batches: Optional[int] = None
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield fixed-size ``(indices, mask)`` batches covering ``indices`` once.
 
     The final ragged batch is padded by repeating index 0 with mask 0 —
-    fixed shapes for XLA, exact metrics via the mask.
+    fixed shapes for XLA, exact metrics via the mask. ``num_batches`` forces
+    a fixed batch count (extra batches are fully masked), so hosts with
+    differently sized eval shards stay in SPMD lockstep.
     """
     n = len(indices)
+    produced = 0
     for start in range(0, n, batch_size):
         chunk = indices[start : start + batch_size]
         mask = np.ones(len(chunk), dtype=np.bool_)
@@ -92,4 +95,11 @@ def padded_batches(
             pad = batch_size - len(chunk)
             chunk = np.concatenate([chunk, np.zeros(pad, dtype=chunk.dtype)])
             mask = np.concatenate([mask, np.zeros(pad, dtype=np.bool_)])
+        produced += 1
         yield chunk, mask
+    while num_batches is not None and produced < num_batches:
+        produced += 1
+        yield (
+            np.zeros(batch_size, dtype=np.int64),
+            np.zeros(batch_size, dtype=np.bool_),
+        )

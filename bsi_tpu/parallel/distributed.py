@@ -30,6 +30,10 @@ def initialize_distributed(
     if jax.process_count() > 1:
         return  # already initialized
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     auto_tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1
     if explicit or auto_tpu_pod:
         jax.distributed.initialize(
@@ -44,17 +48,46 @@ def host_shard() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
-def put_host_batch(mesh, batch: np.ndarray):
+def put_host_batch(
+    mesh,
+    batch: np.ndarray,
+    *,
+    global_batch: Optional[int] = None,
+    batch_axis: int = 0,
+):
     """Transfer this host's batch shard into a globally data-sharded array.
 
     Single-process: a plain sharded ``device_put``. Multi-process: assembles
-    the global array from per-process local shards (each host holds
-    ``global_batch / num_hosts`` rows; the global shape is inferred).
+    the global array from per-process local shards. Every host MUST hold
+    exactly ``global_batch / num_hosts`` rows — sharded global arrays require
+    equal per-process shards, so the reference's remainder-distributing rank
+    split (bsi/data/h5image.py:308-312) is replaced by a divisibility
+    contract, enforced here and at data-module construction with actionable
+    errors. Pass ``global_batch`` to validate the local shard against the
+    configured global batch size instead of trusting shape inference.
+
+    ``batch_axis`` selects which axis carries the data-sharded batch
+    dimension (axis 1 for gradient-accumulation batches ``[accum, micro,
+    ...]``, whose leading accumulation axis is unsharded scan input).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
-    if jax.process_count() == 1:
+    spec = P(*([None] * batch_axis + ["data"]))
+    sharding = NamedSharding(mesh, spec)
+    n_proc = jax.process_count()
+    local_rows = int(np.prod(batch.shape[: batch_axis + 1]))
+    if global_batch is not None and local_rows * n_proc != global_batch:
+        raise ValueError(
+            f"host shard of {local_rows} rows x {n_proc} processes = "
+            f"{local_rows * n_proc} rows, but the configured global batch is "
+            f"{global_batch}; multi-host batches must be equal per host "
+            f"(global_batch % num_hosts == 0)"
+        )
+    if n_proc == 1:
         return jax.device_put(batch, sharding)
-    global_shape = (batch.shape[0] * jax.process_count(),) + batch.shape[1:]
+    global_shape = (
+        batch.shape[:batch_axis]
+        + (batch.shape[batch_axis] * n_proc,)
+        + batch.shape[batch_axis + 1 :]
+    )
     return jax.make_array_from_process_local_data(sharding, batch, global_shape)

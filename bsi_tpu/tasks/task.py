@@ -175,4 +175,5 @@ def build_task(
         profiler=profiler,
         fsdp=bool(trainer_cfg.get("fsdp", False)),
         fid_metrics=fid_metrics,
+        accumulate_grad_batches=int(trainer_cfg.get("accumulate_grad_batches", 1) or 1),
     )

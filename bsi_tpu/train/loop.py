@@ -60,6 +60,7 @@ class Trainer:
         profiler=None,
         fsdp: bool = False,
         fid_metrics: Optional[dict] = None,
+        accumulate_grad_batches: int = 1,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -84,6 +85,15 @@ class Trainer:
         # per-stage sample metrics (bsi/tasks/bsi.py:147-153,168-178).
         self.fid_metrics = fid_metrics or {}
         self.best_bpd = float("inf")
+        # Gradient accumulation: batch_size is the optimizer-step batch and
+        # is split into this many sequential micro-batches on device (the
+        # lax.scan in train/step.py). NOTE the semantic vs Lightning: there
+        # accumulate_grad_batches MULTIPLIES the loader batch; here it
+        # DIVIDES the configured global batch, which is the natural SPMD
+        # contract (batch_size stays the optimizer batch either way).
+        self.accum = int(accumulate_grad_batches)
+        if self.accum < 1:
+            raise ValueError("accumulate_grad_batches must be >= 1")
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self._rep = replicated(self.mesh)
@@ -134,6 +144,13 @@ class Trainer:
                     f"size {n_data}; choose a {label} that is a multiple of the "
                     f"number of data-parallel devices"
                 )
+        bs = getattr(self.data, "batch_size", None)
+        if self.accum > 1 and bs is not None and bs % (self.accum * n_data) != 0:
+            raise ValueError(
+                f"data.batch_size={bs} must be divisible by "
+                f"accumulate_grad_batches={self.accum} x data-axis size {n_data} "
+                f"so every micro-batch shards evenly"
+            )
 
     def _ensure_compiled(self):
         if self._train_step is not None:
@@ -142,9 +159,22 @@ class Trainer:
         self._check_divisibility()
         sh = self._state_shardings
         n_recon, n_measure = self._n_elbo
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_shard = (
+            self._shard
+            if self.accum == 1
+            else NamedSharding(self.mesh, P(None, "data"))
+        )
         self._train_step = jax.jit(
-            make_train_step(self.algorithm, self.train_apply, self.optimizer, self.ema_cfg),
-            in_shardings=(sh, self._shard),
+            make_train_step(
+                self.algorithm,
+                self.train_apply,
+                self.optimizer,
+                self.ema_cfg,
+                accum_steps=self.accum,
+            ),
+            in_shardings=(sh, batch_shard),
             out_shardings=(sh, self._rep),
             donate_argnums=(0,),
         )
@@ -160,17 +190,30 @@ class Trainer:
         )
 
     def init_state(self) -> TrainState:
-        rng = jax.random.key(self.seed)
-        rng_init, rng_state = jax.random.split(rng)
         shape = self.data.data_shape()
-        mu = jnp.zeros((2,) + tuple(shape), jnp.float32)
-        t = jnp.zeros((2,), jnp.float32)
-        params = self.model.init(rng_init, mu, t)
-        opt_state = self.optimizer.init(params)
-        state = TrainState.create(params=params, opt_state=opt_state, rng=rng_state)
-        self.logger.console_line(f"model parameters: {count_params(params):,}")
-        self._state_shardings = self._state_sharding_for(state)
-        return jax.device_put(state, self._state_shardings)
+
+        def make(seed_lo, seed_hi) -> TrainState:
+            # the seed crosses the jit boundary as two uint32 halves: big
+            # (63-bit) seeds from resolve_seed overflow a traced python int
+            rng = jax.random.fold_in(jax.random.key(seed_lo), seed_hi)
+            rng_init, rng_state = jax.random.split(rng)
+            mu = jnp.zeros((2,) + tuple(shape), jnp.float32)
+            t = jnp.zeros((2,), jnp.float32)
+            params = self.model.init(rng_init, mu, t)
+            opt_state = self.optimizer.init(params)
+            return TrainState.create(params=params, opt_state=opt_state, rng=rng_state)
+
+        seed = int(self.seed)
+        halves = (np.uint32(seed & 0xFFFFFFFF), np.uint32((seed >> 32) & 0xFFFFFFFF))
+        abstract = jax.eval_shape(make, *halves)
+        self._state_shardings = self._state_sharding_for(abstract)
+        # jit-initialize straight into the sharded layout: each process
+        # materializes only its addressable shards (required for multi-host,
+        # where a host-local device_put of global state is impossible), and
+        # the full state never round-trips through host memory
+        state = jax.jit(make, out_shardings=self._state_shardings)(*halves)
+        self.logger.console_line(f"model parameters: {count_params(state.params):,}")
+        return state
 
     # ------------------------------------------------------------------ train
 
@@ -208,8 +251,17 @@ class Trainer:
         # device without a worker thread — and the data-stream cursor in
         # checkpoints stays exactly in sync with consumed batches. For
         # expensive host pipelines see bsi_tpu.data.prefetch.DevicePrefetcher.
+        global_batch = getattr(self.data, "batch_size", None)
         for step in range(start_step, self.max_steps):
-            batch = put_host_batch(self.mesh, next(batches))
+            batch = next(batches)
+            if self.accum > 1:
+                batch = batch.reshape((self.accum, -1) + batch.shape[1:])
+            batch = put_host_batch(
+                self.mesh,
+                batch,
+                global_batch=global_batch,
+                batch_axis=1 if self.accum > 1 else 0,
+            )
             self.state, metrics = self._train_step(self.state, batch)
             if self.profiler is not None:
                 self.profiler.on_step(step)
@@ -269,9 +321,17 @@ class Trainer:
         splits = self.data.eval_splits() if stage == "val" else self.data.test_splits()
         # Fixed eval RNG per validation pass: metrics comparable across steps
         rng = jax.random.key((0x5EED ^ self.seed) % (2**63))
+        from bsi_tpu.parallel.distributed import put_host_batch
+
+        if self.fid_metrics and jax.process_count() > 1:
+            # Streaming FID is host-local; multi-process sample metrics would
+            # need a cross-host stats reduction. Documented limitation.
+            self.logger.console_line("FID skipped: not supported multi-process")
+        fid_active = self.fid_metrics if jax.process_count() == 1 else {}
+
         metrics: dict[str, float] = {}
         for name, split in splits.items():
-            fid = self.fid_metrics.get(name)
+            fid = fid_active.get(name)
             sums = {"elbo_sum": 0.0, "bpd_sum": 0.0, "count": 0.0}
             for i, (batch, mask) in enumerate(self.data.eval_batches(split)):
                 if self.limit_eval_batches is not None and i >= self.limit_eval_batches:
@@ -279,8 +339,8 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 out = self._eval_step(
                     self.state,
-                    jax.device_put(batch, self._shard),
-                    jax.device_put(mask, self._shard),
+                    put_host_batch(self.mesh, batch),
+                    put_host_batch(self.mesh, np.asarray(mask)),
                     sub,
                 )
                 for k in sums:

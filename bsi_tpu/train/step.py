@@ -32,18 +32,53 @@ def make_train_step(
     model_apply: ModelApply,
     tx: optax.GradientTransformation,
     ema_cfg: EMAConfig,
+    accum_steps: int = 1,
 ):
-    """Build the fused train step: loss -> grads -> optimizer -> EMA."""
+    """Build the fused train step: loss -> grads -> optimizer -> EMA.
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch arrives
+    pre-shaped ``[accum, micro, ...]`` (micro sharded over ``data``), a
+    ``lax.scan`` averages per-micro-batch gradients, and the optimizer, EMA,
+    and LR schedule advance ONCE per accumulated step — the cadence the
+    reference gets from Lightning's ``accumulate_grad_batches``. This lets the
+    global-batch-512 recipes run on small chip counts with the optimizer
+    trajectory of the large batch (per-micro RNG draws differ from a single
+    big batch, as they do for the reference across ranks)."""
+
+    def loss_and_grads(params, batch, rng_algo, rng_dropout):
+        def loss_fn(p):
+            model_fn = lambda mu, t: model_apply(p, mu, t, rng_dropout)
+            return algorithm.train_loss(model_fn, rng_algo, batch).mean()
+
+        return jax.value_and_grad(loss_fn)(params)
 
     def train_step(state: TrainState, batch: jnp.ndarray):
         rng_step = jax.random.fold_in(state.rng, state.step)
         rng_algo, rng_dropout = jax.random.split(rng_step)
 
-        def loss_fn(params):
-            model_fn = lambda mu, t: model_apply(params, mu, t, rng_dropout)
-            return algorithm.train_loss(model_fn, rng_algo, batch).mean()
+        if accum_steps == 1:
+            loss, grads = loss_and_grads(state.params, batch, rng_algo, rng_dropout)
+        else:
+            rngs_a = jax.random.split(rng_algo, accum_steps)
+            rngs_d = jax.random.split(rng_dropout, accum_steps)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            def micro(carry, xs):
+                loss_sum, grad_sum = carry
+                mb, ra, rd = xs
+                mloss, mgrads = loss_and_grads(state.params, mb, ra, rd)
+                return (
+                    loss_sum + mloss,
+                    jax.tree.map(jnp.add, grad_sum, mgrads),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros(()), zeros), (batch, rngs_a, rngs_d)
+            )
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g * inv, grads)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = ema_update(ema_cfg, state.step, state.ema_params, params)

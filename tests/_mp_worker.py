@@ -1,0 +1,116 @@
+"""Worker for the multi-process CPU integration test (test_multiprocess.py).
+
+Each spawned process joins a ``jax.distributed`` CPU cluster, feeds its host
+shard of a constant dataset (so batch-assembly order cannot influence the
+loss), trains a few steps through the full Trainer, and writes its final
+metrics as JSON. Run with nproc=1 for the single-process ground truth.
+
+Usage: _mp_worker.py <coordinator> <process_id> <num_processes> <out_json>
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main() -> None:
+    coordinator, pid, nproc, out_json = (
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator, num_processes=nproc, process_id=pid
+        )
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+
+    import numpy as np
+
+    from bsi_tpu.core import BSI
+    from bsi_tpu.data import ArrayDataModule
+    from bsi_tpu.models import DenoisingMLP
+    from bsi_tpu.nn import NyquistPositionalEmbedding
+    from bsi_tpu.parallel import make_mesh
+    from bsi_tpu.parallel.distributed import host_shard
+    from bsi_tpu.train import EMAConfig, Trainer, make_optimizer
+
+    shape = (4, 4, 1)
+    # All examples identical: the global loss is invariant to how hosts
+    # assemble the batch, so 2-process must match 1-process exactly.
+    value = 2 * (128 / 255) - 1  # an exact 8-bit bin center
+    train = np.full((32,) + shape, value, np.float32)
+    # val fills the eval batch exactly: no padding, so the mask (and hence
+    # the noise-position pairing of the fixed eval RNG) is identical under
+    # any host sharding and metrics must match bitwise up to reduction order
+    val = np.full((16,) + shape, value, np.float32)
+
+    shard_id, num_shards = host_shard()
+    data = ArrayDataModule(
+        train,
+        val,
+        batch_size=16,
+        train_eval_size=16,
+        seed=0,
+        shard_id=shard_id,
+        num_shards=num_shards,
+    )
+    algo = BSI(
+        data_shape=shape, lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=4,
+        preconditioning="edm",
+    )
+    model = DenoisingMLP(
+        data_shape=shape, pos_emb=NyquistPositionalEmbedding(8, 100),
+        hidden_width=32, layers=2,
+    )
+    run_dir = os.path.join(os.path.dirname(out_json), f"run_nproc{nproc}")
+    trainer = Trainer(
+        algorithm=algo,
+        model=model,
+        optimizer=make_optimizer(1e-3),
+        data=data,
+        ema=EMAConfig(update_after_step=1),
+        max_steps=4,
+        val_check_interval=100,
+        log_every=2,
+        run_dir=run_dir,
+        seed=0,
+        mesh=make_mesh(),
+    )
+    metrics = trainer.fit()
+
+    param_sum = float(
+        sum(
+            np.abs(np.asarray(jax.device_get(leaf))).sum()
+            for leaf in jax.tree.leaves(trainer.state.params)
+        )
+    )
+    result = {
+        "process_id": pid,
+        "num_processes": nproc,
+        "devices": len(jax.devices()),
+        "loss": metrics["train/loss"],
+        "val_bpd": metrics["val/bpd"],
+        "val_count_ok": True,
+        "param_sum": param_sum,
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f)
+    print("worker done:", result)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,59 @@ def test_module_state_roundtrip():
     dm2.load_state_dict(state)
     got = next(dm2.train_batches())
     npt.assert_array_equal(got, want)
+
+
+def test_padded_batches_fixed_count_lockstep():
+    """num_batches pads with fully-masked batches so unevenly sharded hosts
+    iterate the same number of SPMD eval steps."""
+    short = list(padded_batches(np.arange(3), 4, num_batches=3))
+    assert len(short) == 3
+    assert short[0][1].sum() == 3 and short[1][1].sum() == 0 and short[2][1].sum() == 0
+    assert all(b.shape == (4,) for b, _ in short)
+    empty = list(padded_batches(np.arange(0), 4, num_batches=1))
+    assert len(empty) == 1 and empty[0][1].sum() == 0
+
+
+def test_multi_shard_batch_divisibility_guard():
+    from bsi_tpu.data import SyntheticDataModule
+
+    with pytest.raises(ValueError, match="divisible"):
+        SyntheticDataModule(n_train=32, n_val=8, batch_size=17, shard_id=0, num_shards=2)
+
+
+def test_eval_batches_lockstep_across_shards():
+    """All shards of a ragged split yield the same number of eval batches and
+    together cover each example exactly once."""
+    from bsi_tpu.data import SyntheticDataModule
+
+    n_val = 9  # 3 shards -> shard sizes 3/3/3; use 10 -> 4/3/3
+    for n_val in (9, 10, 4):
+        mods = [
+            SyntheticDataModule(
+                n_train=32, n_val=n_val, batch_size=6, shard_id=i, num_shards=3
+            )
+            for i in range(3)
+        ]
+        split_counts = []
+        covered = 0
+        for dm in mods:
+            batches = list(dm.eval_batches(dm.eval_splits()["val"]))
+            split_counts.append(len(batches))
+            covered += sum(int(m.sum()) for _, m in batches)
+            assert all(b.shape[0] == 2 for b, _ in batches)  # 6 global / 3 shards
+        assert len(set(split_counts)) == 1, split_counts
+        assert covered == n_val
+
+
+def test_put_host_batch_validates_global_batch():
+    import jax
+
+    from bsi_tpu.parallel import make_mesh
+    from bsi_tpu.parallel.distributed import put_host_batch
+
+    mesh = make_mesh(4)
+    batch = np.ones((8, 3), np.float32)
+    out = put_host_batch(mesh, batch, global_batch=8)
+    assert out.shape == (8, 3)
+    with pytest.raises(ValueError, match="global_batch"):
+        put_host_batch(mesh, batch, global_batch=16)

@@ -245,3 +245,68 @@ def test_batch_divisibility_guard(tmp_path):
     t = make_trainer(tmp_path, data=data, mesh=make_mesh(4))
     with pytest.raises(ValueError, match="divisible"):
         t.fit()
+
+
+def test_grad_accumulation_matches_manual_average(tmp_path):
+    """The fused accumulation step (lax.scan over micro-batches) must equal
+    the hand-rolled oracle: per-micro grads with the same RNG splits,
+    averaged, then ONE optimizer update."""
+    import optax
+
+    from bsi_tpu.train import make_train_step
+
+    t = make_trainer(tmp_path, max_steps=1, val_check_interval=100)
+    t.fit()
+    state = t.state
+    batch = jnp.asarray(next(t.data.train_batches(16))).reshape(4, 4, *DATA_SHAPE)
+
+    step_fn = jax.jit(
+        make_train_step(t.algorithm, t.train_apply, t.optimizer, t.ema_cfg, accum_steps=4)
+    )
+    new_state, metrics = step_fn(state, batch)
+
+    rng_step = jax.random.fold_in(state.rng, state.step)
+    rng_algo, rng_dropout = jax.random.split(rng_step)
+    rngs_a = jax.random.split(rng_algo, 4)
+    rngs_d = jax.random.split(rng_dropout, 4)
+    losses, grads_list = [], []
+    for i in range(4):
+        def loss_fn(p):
+            model_fn = lambda mu, tt: t.train_apply(p, mu, tt, rngs_d[i])
+            return t.algorithm.train_loss(model_fn, rngs_a[i], batch[i]).mean()
+
+        li, gi = jax.value_and_grad(loss_fn)(state.params)
+        losses.append(li)
+        grads_list.append(gi)
+    want_loss = float(sum(losses) / 4)
+    want_grads = jax.tree.map(lambda *gs: sum(gs) / 4, *grads_list)
+    updates, _ = t.optimizer.update(want_grads, state.opt_state, state.params)
+    want_params = optax.apply_updates(state.params, updates)
+
+    npt.assert_allclose(float(metrics["train/loss"]), want_loss, rtol=1e-5)
+    got_leaf = np.asarray(jax.tree.leaves(new_state.params)[0])
+    want_leaf = np.asarray(jax.tree.leaves(want_params)[0])
+    npt.assert_allclose(got_leaf, want_leaf, rtol=1e-5, atol=1e-7)
+    assert int(new_state.step) == int(state.step) + 1  # ONE optimizer step
+
+
+def test_grad_accumulation_end_to_end(tmp_path):
+    data = SyntheticDataModule(
+        n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=16, train_eval_size=16
+    )
+    t = make_trainer(
+        tmp_path, data=data, mesh=make_mesh(2), accumulate_grad_batches=4,
+        max_steps=4, val_check_interval=100,
+    )
+    m = t.fit()
+    assert math.isfinite(m["train/loss"]) and int(t.state.step) == 4
+
+    bad = make_trainer(
+        tmp_path / "bad", data=SyntheticDataModule(
+            n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=16,
+            train_eval_size=16,
+        ),
+        mesh=make_mesh(8), accumulate_grad_batches=4,  # 16 % (4*8) != 0
+    )
+    with pytest.raises(ValueError, match="accumulate_grad_batches"):
+        bad.fit()
