@@ -22,8 +22,11 @@ from .base import ArrayDataModule
 SPLIT_SEED = 387_241_991  # fixed, like the reference's hard-coded split seeds
 
 
-def _load_pickle_batches(root: Path) -> tuple[np.ndarray, np.ndarray]:
-    """Return (train_images, test_images) as NHWC uint8 arrays."""
+def _load_pickle_batches(
+    root: Path,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Return (train_images, train_labels, test_images, test_labels); images
+    NHWC uint8, labels int16."""
     batches_dir = root / "cifar-10-batches-py"
     if not batches_dir.exists():
         tarball = root / "cifar-10-python.tar.gz"
@@ -42,11 +45,13 @@ def _load_pickle_batches(root: Path) -> tuple[np.ndarray, np.ndarray]:
             d = pickle.load(f, encoding="bytes")
         # stored as [N, 3072] with CHW pixel order -> NHWC
         data = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        return np.ascontiguousarray(data)
+        return np.ascontiguousarray(data), np.asarray(d[b"labels"], np.int16)
 
-    train = np.concatenate([read(f"data_batch_{i}") for i in range(1, 6)])
-    test = read("test_batch")
-    return train, test
+    parts = [read(f"data_batch_{i}") for i in range(1, 6)]
+    train = np.concatenate([p[0] for p in parts])
+    train_labels = np.concatenate([p[1] for p in parts])
+    test, test_labels = read("test_batch")
+    return train, train_labels, test, test_labels
 
 
 class CIFAR10DataModule(ArrayDataModule):
@@ -71,14 +76,23 @@ class CIFAR10DataModule(ArrayDataModule):
         root_path = Path(root)
         cache = root_path / "cifar10.h5"
         if not cache.exists():
-            train_full, test_arr = _load_pickle_batches(root_path)
+            train_full, train_lab, test_arr, test_lab = _load_pickle_batches(root_path)
             root_path.mkdir(parents=True, exist_ok=True)
             with h5py.File(cache, "w") as f:
+                # images + labels, like the reference's data/label cache
+                # layout (bsi/data/h5image.py:26-35)
                 f.create_dataset("train", data=train_full)
+                f.create_dataset("train_label", data=train_lab)
                 f.create_dataset("test", data=test_arr)
+                f.create_dataset("test_label", data=test_lab)
 
         with h5py.File(cache, "r") as f:
             n_train_full = f["train"].shape[0]
+            # labels are tiny; always resident (class-conditional extensions)
+            self.train_full_labels = (
+                f["train_label"][:] if "train_label" in f else None
+            )
+            self.test_labels = f["test_label"][:] if "test_label" in f else None
 
         # Deterministic 90/10 split, independent of the run seed so all hosts
         # and resumed runs agree (reference: bsi/data/cifar10.py:75)
@@ -86,6 +100,9 @@ class CIFAR10DataModule(ArrayDataModule):
         perm = rng.permutation(n_train_full)
         n_val = int(n_train_full * val_fraction)
         val_idx, train_idx = np.sort(perm[:n_val]), np.sort(perm[n_val:])
+        if self.train_full_labels is not None:
+            self.train_labels = self.train_full_labels[train_idx]
+            self.val_labels = self.train_full_labels[val_idx]
 
         if preload:
             with h5py.File(cache, "r") as f:

@@ -41,9 +41,11 @@ def _build_cache(root: Path, n: int, cache: Path) -> None:
     with h5py.File(cache, "w") as f:
         total = 0
         dset = None
+        lset = None
         for shard in shards:
             with np.load(shard) as z:
                 imgs = _to_nhwc(z["data"].astype(np.uint8), n)
+                labels = np.asarray(z["labels"], np.int16) if "labels" in z else None
             if dset is None:
                 dset = f.create_dataset(
                     "train",
@@ -52,11 +54,24 @@ def _build_cache(root: Path, n: int, cache: Path) -> None:
                     dtype=np.uint8,
                     chunks=(4096, n, n, 3),
                 )
+                if labels is not None:
+                    # labels stored like the reference's data/label cache
+                    # layout (bsi/data/h5image.py:26-35)
+                    lset = f.create_dataset(
+                        "train_label", shape=(0,), maxshape=(None,), dtype=np.int16
+                    )
             dset.resize(total + len(imgs), axis=0)
             dset[total : total + len(imgs)] = imgs
+            if lset is not None and labels is not None:
+                lset.resize(total + len(labels), axis=0)
+                lset[total : total + len(labels)] = labels
             total += len(imgs)
         with np.load(val_file) as z:
             f.create_dataset("test", data=_to_nhwc(z["data"].astype(np.uint8), n))
+            if "labels" in z:
+                f.create_dataset(
+                    "test_label", data=np.asarray(z["labels"], np.int16)
+                )
 
 
 class ImageNetDataModule(ArrayDataModule):
@@ -86,11 +101,18 @@ class ImageNetDataModule(ArrayDataModule):
 
         with h5py.File(cache, "r") as f:
             n_train_full = f["train"].shape[0]
+            self.train_full_labels = (
+                f["train_label"][:] if "train_label" in f else None
+            )
+            self.test_labels = f["test_label"][:] if "test_label" in f else None
 
         rng = np.random.default_rng(SPLIT_SEED)
         perm = rng.permutation(n_train_full)
         n_val = int(n_train_full * val_fraction)
         val_idx, train_idx = np.sort(perm[:n_val]), np.sort(perm[n_val:])
+        if self.train_full_labels is not None:
+            self.train_labels = self.train_full_labels[train_idx]
+            self.val_labels = self.train_full_labels[val_idx]
 
         if preload:
             with h5py.File(cache, "r") as f:

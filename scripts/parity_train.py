@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""End-to-end training parity vs the EXECUTED torch reference.
+
+The zero-egress image has no real datasets, so the driver's "bpd within
+1e-3" target cannot be measured on CIFAR yet. This script produces the
+substitute evidence: it trains the torch reference (imported from
+/root/reference and executed, never copied) and this framework on IDENTICAL
+synthetic 8-bit data with an IDENTICAL recipe — same initial weights
+(transferred), same batch sequence (same index-stream seed), same
+BSI hyperparameters, AdamW, constant LR, grad-clip 1.0, and EMA schedule —
+then compares final validation bpd of the EMA model.
+
+Reference oracle: bsi/bsi.py:152-310 (elbo/train_loss), bsi/tasks/bsi.py:187-252
+(training/eval semantics), bsi/tasks/ema_pytorch.py (EMA).
+
+Only RNG streams differ (torch generator vs JAX threefry), so agreement is
+statistical: the script reports the torch seed-to-seed spread and the eval
+estimator noise alongside the cross-framework gap. Writes PARITY_TRAIN.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+from _common import REPO_ROOT  # noqa: E402
+
+sys.path.insert(0, str(REPO_ROOT))
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # torch is CPU; keep it symmetric
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+HP = dict(lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=16, preconditioning="edm")
+EMA_HP = dict(beta=0.9999, update_after_step=200, update_every=1, inv_gamma=1.0, power=2 / 3)
+OPT_HP = dict(lr=1e-3, betas=(0.9, 0.999), weight_decay=0.01)
+DATA_SHAPE = (8,)
+N_TRAIN, N_VAL = 4096, 1024
+POS_EMB = (32, 1000)
+
+
+def make_data(seed: int = 13):
+    """Mixture-of-sinusoids vectors quantized to 8-bit bin centers."""
+    rng = np.random.default_rng(seed)
+
+    def make(n):
+        grid = np.linspace(0, 1, DATA_SHAPE[0])
+        freq = rng.uniform(0.5, 3.0, size=(n, 1))
+        phase = rng.uniform(0, 2 * np.pi, size=(n, 1))
+        amp = rng.uniform(0.3, 1.0, size=(n, 1))
+        base = amp * np.sin(2 * np.pi * freq * grid[None, :] + phase)
+        levels = np.round((base * 0.5 + 0.5) * 255)
+        return (levels / 255 * 2 - 1).astype(np.float32)
+
+    return make(N_TRAIN), make(N_VAL)
+
+
+def batch_stream(train: np.ndarray, batch: int, steps: int, seed: int):
+    """The SAME batch sequence for both frameworks."""
+    from bsi_tpu.data.sampler import InfiniteIndexStream
+
+    stream = InfiniteIndexStream(len(train), seed)
+    return [train[stream.next_indices(batch)] for _ in range(steps)]
+
+
+# ---------------------------------------------------------------- JAX side
+
+
+def train_jax(batches, val, *, hidden: int, layers: int, seed: int = 0):
+    from bsi_tpu.core import BSI, Discretization
+    from bsi_tpu.models import DenoisingMLP
+    from bsi_tpu.nn import NyquistPositionalEmbedding
+    from bsi_tpu.train import EMAConfig, TrainState, make_optimizer, make_train_step
+
+    algo = BSI(data_shape=DATA_SHAPE, discretization=Discretization.image_8bit(), **HP)
+    model = DenoisingMLP(
+        data_shape=DATA_SHAPE, pos_emb=NyquistPositionalEmbedding(*POS_EMB),
+        hidden_width=hidden, layers=layers,
+    )
+    tx = make_optimizer(OPT_HP["lr"], betas=OPT_HP["betas"],
+                        weight_decay=OPT_HP["weight_decay"], gradient_clip=1.0)
+
+    params = model.init(jax.random.key(seed), jnp.zeros((2,) + DATA_SHAPE), jnp.zeros(2))
+    state = TrainState.create(
+        params=params, opt_state=tx.init(params), rng=jax.random.key(seed + 1)
+    )
+
+    apply = lambda p, mu, t, rng: model.apply(p, mu, t)
+    step_fn = jax.jit(make_train_step(algo, apply, tx, EMAConfig(**EMA_HP)))
+    losses = []
+    for b in batches:
+        state, metrics = step_fn(state, jnp.asarray(b))
+        losses.append(float(metrics["train/loss"]))
+
+    def eval_bpd(eval_seed: int, n_recon=4, n_measure=32, bs=256):
+        model_fn = lambda mu, t: model.apply(state.ema_params, mu, t)
+        rng = jax.random.key(eval_seed)
+        bpds = []
+        for i in range(0, len(val), bs):
+            rng, sub = jax.random.split(rng)
+            _, bpd, _ = algo.elbo(model_fn, sub, jnp.asarray(val[i : i + bs]),
+                                  n_recon, n_measure)
+            bpds.append(np.asarray(bpd))
+        return float(np.concatenate(bpds).mean())
+
+    return params, losses, eval_bpd
+
+
+# -------------------------------------------------------------- torch side
+
+
+def jax_params_to_torch(params, ref_model, torch, layers: int):
+    """Load the JAX MLP init into the reference torch MLP (inverse of the
+    mapping validated in tests/test_weight_transfer.py)."""
+    p = params["params"]
+    with torch.no_grad():
+        for i in range(layers):
+            lin = ref_model.layers[2 * i]
+            lin.weight.copy_(torch.tensor(np.asarray(p["trunk"][f"Dense_{i}"]["kernel"]).T))
+            lin.bias.copy_(torch.tensor(np.asarray(p["trunk"][f"Dense_{i}"]["bias"])))
+        head = ref_model.layers[2 * layers]
+        head.weight.copy_(torch.tensor(np.asarray(p["head"]["kernel"]).T))
+        head.bias.copy_(torch.tensor(np.asarray(p["head"]["bias"])))
+
+
+def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int = 0):
+    import torch
+
+    from bsi.bsi import BSI as RefBSI, Discretization as RefDisc
+    from bsi.models.mlp import DenoisingMLP as RefMLP
+    from bsi.models.pos_emb import NyquistPositionalEmbedding as RefEmb
+    from bsi.tasks.ema_pytorch import EMA as RefEMA
+
+    torch.manual_seed(seed)
+    model = RefMLP(
+        data_shape=DATA_SHAPE, pos_emb=RefEmb(*POS_EMB), hidden_width=hidden,
+        layers=layers, actfn="silu", zero_init=False,
+    )
+    jax_params_to_torch(jax_params, model, torch, layers)
+    disc = RefDisc.image_8bit()
+    bsi = RefBSI(model, data_shape=DATA_SHAPE, discretization=disc, **HP)
+    opt = torch.optim.AdamW(model.parameters(), lr=OPT_HP["lr"],
+                            betas=OPT_HP["betas"], weight_decay=OPT_HP["weight_decay"])
+    ema = RefEMA(model, include_online_model=False, **EMA_HP)
+    gen = torch.Generator().manual_seed(seed + 100)
+
+    losses = []
+    for b in batches:
+        loss = bsi.train_loss(torch.tensor(b), gen).mean()
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        ema.update()
+        losses.append(float(loss))
+
+    ema_bsi = RefBSI(ema.ema_model, data_shape=DATA_SHAPE, discretization=disc, **HP)
+
+    def eval_bpd(eval_seed: int, n_recon=4, n_measure=32, bs=256):
+        g = torch.Generator().manual_seed(eval_seed)
+        bpds = []
+        with torch.no_grad():
+            for i in range(0, len(val), bs):
+                _, bpd, _ = ema_bsi.elbo(torch.tensor(val[i : i + bs]), n_recon,
+                                         n_measure, g)
+                bpds.append(bpd.numpy())
+        return float(np.concatenate(bpds).mean())
+
+    return losses, eval_bpd
+
+
+# ------------------------------------------------------------------- main
+
+
+def run(steps: int = 3000, batch: int = 128, hidden: int = 128, layers: int = 3,
+        out: str | None = None) -> dict:
+    train, val = make_data()
+    batches = batch_stream(train, batch, steps, seed=7)
+
+    t0 = time.time()
+    jax_params, jax_losses, jax_eval = train_jax(batches, val, hidden=hidden, layers=layers)
+    t_jax = time.time() - t0
+
+    t0 = time.time()
+    torch_losses, torch_eval = train_torch(batches, val, jax_params, hidden=hidden,
+                                           layers=layers, seed=0)
+    t_torch = time.time() - t0
+    torch_losses_b, torch_eval_b = train_torch(batches, val, jax_params, hidden=hidden,
+                                               layers=layers, seed=1)
+
+    jax_bpd = [jax_eval(s) for s in (1, 2, 3)]
+    torch_bpd = [torch_eval(s) for s in (1, 2, 3)]
+    torch_bpd_b = torch_eval_b(1)
+
+    result = {
+        "steps": steps, "batch": batch, "hidden": hidden, "layers": layers,
+        "recipe": {"bsi": HP, "ema": EMA_HP, "opt": OPT_HP},
+        "jax": {
+            "final_train_loss": float(np.mean(jax_losses[-50:])),
+            "val_bpd_by_eval_seed": jax_bpd,
+            "val_bpd": float(np.mean(jax_bpd)),
+            "train_seconds": t_jax,
+        },
+        "torch": {
+            "final_train_loss": float(np.mean(torch_losses[-50:])),
+            "val_bpd_by_eval_seed": torch_bpd,
+            "val_bpd": float(np.mean(torch_bpd)),
+            "val_bpd_seed1": torch_bpd_b,
+            "train_seconds": t_torch,
+        },
+    }
+    result["bpd_gap"] = abs(result["jax"]["val_bpd"] - result["torch"]["val_bpd"])
+    result["torch_seed_spread"] = abs(result["torch"]["val_bpd"] - torch_bpd_b)
+    result["eval_noise_sigma"] = float(max(np.std(jax_bpd), np.std(torch_bpd)))
+    if out:
+        Path(out).write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2))
+    gap, spread = result["bpd_gap"], result["torch_seed_spread"]
+    print(
+        f"\nbpd gap jax-vs-torch: {gap:.5f}  "
+        f"(torch seed-to-seed spread: {spread:.5f}, "
+        f"eval sigma: {result['eval_noise_sigma']:.5f})"
+    )
+    return result
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--hidden", type=int, default=128)
+    parser.add_argument("--layers", type=int, default=3)
+    parser.add_argument("-o", "--out", default=str(REPO_ROOT / "PARITY_TRAIN.json"))
+    a = parser.parse_args()
+    run(a.steps, a.batch, a.hidden, a.layers, a.out)

@@ -75,3 +75,68 @@ def test_step_window_profiler(tmp_path):
     assert prof._done
     # a trace directory was produced
     assert any((tmp_path / "prof").rglob("*")), "no trace output written"
+
+
+def test_slurm_launcher_script_render(tmp_path):
+    """The generated sbatch script carries the requeue contract: USR1 grace
+    signal (reference: config/hydra/launcher/slurm.yaml:21), JAX multi-host
+    env wiring, and interrupt-checkpoint resume."""
+    from bsi_tpu.utils.launcher import (
+        render_pod_commands,
+        render_slurm_script,
+        submit_slurm,
+    )
+
+    script = render_slurm_script(
+        ["data=cifar10", "task=bsi", "seed=1"],
+        job_name="cifar-bsi",
+        nodes=4,
+        grace_s=120,
+        extra_directives=["--partition=tpu", "--qos=high"],
+    )
+    assert "#SBATCH --signal=USR1@120" in script
+    assert "#SBATCH --requeue" in script
+    assert "#SBATCH --nodes=4" in script
+    assert "#SBATCH --partition=tpu" in script
+    assert "JAX_COORDINATOR_ADDRESS" in script and "JAX_NUM_PROCESSES" in script
+    assert "JAX_PROCESS_ID" in script
+    assert "ckpt_interrupt" in script and "from_ckpt" in script
+    assert "data=cifar10 task=bsi seed=1" in script
+
+    path, job_id = submit_slurm(
+        script, script_path=tmp_path / "job.sbatch", dry_run=True
+    )
+    assert path.exists() and job_id is None
+    assert path.read_text() == script
+
+    cmds = render_pod_commands(["data=imagenet32"], num_workers=4)
+    assert len(cmds) == 4 and all("data=imagenet32" in c for c in cmds)
+    assert len(set(cmds)) == 1  # pod workers run the identical command
+
+
+def test_launch_cli_dry_run(tmp_path):
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    repo = _Path(__file__).parent.parent
+    out = subprocess.run(
+        [
+            _sys.executable,
+            str(repo / "scripts" / "launch.py"),
+            "--dry-run",
+            "--out-dir",
+            str(tmp_path),
+            "-m",
+            "data=synthetic",
+            "seed=1,2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dry-run" in out.stdout
+    scripts = sorted(tmp_path.glob("*.sbatch"))
+    assert len(scripts) == 2  # one job per sweep point
+    assert "seed=1" in scripts[0].read_text()

@@ -80,6 +80,16 @@ def test_cifar10_pipeline(fake_cifar_root, preload):
     assert len(splits["val"]) == 10  # 10% of 100
     b, m = next(dm.eval_batches(splits["val"], batch_size=4))
     assert b.dtype == np.float32 and b.shape == (4, 32, 32, 3)
+    # labels land in the cache and split consistently with the images
+    # (reference cache layout: bsi/data/h5image.py:26-35)
+    assert dm.train_labels.shape == (90,) and dm.val_labels.shape == (10,)
+    assert dm.test_labels.shape == (10,)
+    assert set(np.unique(dm.train_full_labels)) <= set(range(10))
+    import h5py
+
+    with h5py.File(fake_cifar_root / "cifar10.h5", "r") as f:
+        assert f["train_label"].shape == (100,)
+        assert f["test_label"].shape == (10,)
 
 
 def test_cifar10_modes_identical(fake_cifar_root):
