@@ -10,7 +10,12 @@ one A100: ~45 GFLOP/forward x 128 steps ~ 5.8 TFLOP/sample at f32/TF32
 (~60 TFLOP/s effective) ~ 8 samples/sec. The driver-set target is >= 2x that
 per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The JSON line also carries "mfu" and "tflops_per_sec", computed from the
+compiled XLA program's own FLOP count (cost analysis) against the chip's
+peak — so the throughput number is self-validating: an inflated
+samples/sec would imply an impossible MFU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -24,6 +29,38 @@ import jax.numpy as jnp
 A100_BASELINE_SAMPLES_PER_SEC = 8.0
 K_STEPS = 128
 BATCH = 64
+
+# Peak dense bf16 FLOP/s by TPU generation (public spec sheets)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, peak in sorted(PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def _compiled_flops(jitted, *args) -> float | None:
+    """FLOPs of one call as counted by XLA's cost analysis on the compiled
+    program (includes every fusion; no hand-modeled terms)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns one dict per device
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -69,16 +106,21 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     samples_per_sec = n_iters * BATCH / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"bsi-cifar10-unet sampling throughput (k={K_STEPS}, bf16, batch {BATCH})",
-                "value": round(samples_per_sec, 3),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
-            }
-        )
-    )
+
+    record = {
+        "metric": f"bsi-cifar10-unet sampling throughput (k={K_STEPS}, bf16, batch {BATCH})",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    flops = _compiled_flops(sample, jax.random.key(1))
+    peak = _peak_flops()
+    if flops is not None:
+        tflops = flops * n_iters / elapsed / 1e12
+        record["tflops_per_sec"] = round(tflops, 1)
+        if peak is not None:
+            record["mfu"] = round(tflops * 1e12 / peak, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

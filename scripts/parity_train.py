@@ -182,52 +182,63 @@ def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int
 
 
 def run(steps: int = 3000, batch: int = 128, hidden: int = 128, layers: int = 3,
-        out: str | None = None) -> dict:
+        out: str | None = None, n_seeds: int = 1) -> dict:
+    """Train both frameworks with ``n_seeds`` training seeds each and compare
+    the across-seed mean EMA-model validation bpd. Each run's bpd is itself
+    averaged over 3 eval seeds to suppress ELBO estimator noise."""
     train, val = make_data()
     batches = batch_stream(train, batch, steps, seed=7)
 
-    t0 = time.time()
-    jax_params, jax_losses, jax_eval = train_jax(batches, val, hidden=hidden, layers=layers)
-    t_jax = time.time() - t0
+    jax_runs, torch_runs = [], []
+    t_jax = t_torch = 0.0
+    jax_losses = torch_losses = None
+    for seed in range(n_seeds):
+        t0 = time.time()
+        jax_params, jax_losses, jax_eval = train_jax(
+            batches, val, hidden=hidden, layers=layers, seed=2 * seed
+        )
+        t_jax += time.time() - t0
+        jax_runs.append([jax_eval(s) for s in (1, 2, 3)])
 
-    t0 = time.time()
-    torch_losses, torch_eval = train_torch(batches, val, jax_params, hidden=hidden,
-                                           layers=layers, seed=0)
-    t_torch = time.time() - t0
-    torch_losses_b, torch_eval_b = train_torch(batches, val, jax_params, hidden=hidden,
-                                               layers=layers, seed=1)
+        t0 = time.time()
+        torch_losses, torch_eval = train_torch(batches, val, jax_params, hidden=hidden,
+                                               layers=layers, seed=seed)
+        t_torch += time.time() - t0
+        torch_runs.append([torch_eval(s) for s in (1, 2, 3)])
 
-    jax_bpd = [jax_eval(s) for s in (1, 2, 3)]
-    torch_bpd = [torch_eval(s) for s in (1, 2, 3)]
-    torch_bpd_b = torch_eval_b(1)
+    jax_by_seed = [float(np.mean(r)) for r in jax_runs]
+    torch_by_seed = [float(np.mean(r)) for r in torch_runs]
 
     result = {
         "steps": steps, "batch": batch, "hidden": hidden, "layers": layers,
+        "n_train_seeds": n_seeds,
         "recipe": {"bsi": HP, "ema": EMA_HP, "opt": OPT_HP},
         "jax": {
             "final_train_loss": float(np.mean(jax_losses[-50:])),
-            "val_bpd_by_eval_seed": jax_bpd,
-            "val_bpd": float(np.mean(jax_bpd)),
+            "val_bpd_by_train_seed": jax_by_seed,
+            "val_bpd": float(np.mean(jax_by_seed)),
             "train_seconds": t_jax,
         },
         "torch": {
             "final_train_loss": float(np.mean(torch_losses[-50:])),
-            "val_bpd_by_eval_seed": torch_bpd,
-            "val_bpd": float(np.mean(torch_bpd)),
-            "val_bpd_seed1": torch_bpd_b,
+            "val_bpd_by_train_seed": torch_by_seed,
+            "val_bpd": float(np.mean(torch_by_seed)),
             "train_seconds": t_torch,
         },
     }
     result["bpd_gap"] = abs(result["jax"]["val_bpd"] - result["torch"]["val_bpd"])
-    result["torch_seed_spread"] = abs(result["torch"]["val_bpd"] - torch_bpd_b)
-    result["eval_noise_sigma"] = float(max(np.std(jax_bpd), np.std(torch_bpd)))
+    result["torch_seed_spread"] = float(np.ptp(torch_by_seed)) if n_seeds > 1 else None
+    result["jax_seed_spread"] = float(np.ptp(jax_by_seed)) if n_seeds > 1 else None
+    result["eval_noise_sigma"] = float(
+        max(np.std(jax_runs[0]), np.std(torch_runs[0]))
+    )
     if out:
         Path(out).write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
     gap, spread = result["bpd_gap"], result["torch_seed_spread"]
     print(
-        f"\nbpd gap jax-vs-torch: {gap:.5f}  "
-        f"(torch seed-to-seed spread: {spread:.5f}, "
+        f"\nbpd gap jax-vs-torch (means over {n_seeds} train seeds): {gap:.5f}  "
+        f"(torch seed spread: {spread}, jax seed spread: {result['jax_seed_spread']}, "
         f"eval sigma: {result['eval_noise_sigma']:.5f})"
     )
     return result
@@ -241,6 +252,7 @@ if __name__ == "__main__":
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--hidden", type=int, default=128)
     parser.add_argument("--layers", type=int, default=3)
+    parser.add_argument("--n-seeds", type=int, default=1)
     parser.add_argument("-o", "--out", default=str(REPO_ROOT / "PARITY_TRAIN.json"))
     a = parser.parse_args()
-    run(a.steps, a.batch, a.hidden, a.layers, a.out)
+    run(a.steps, a.batch, a.hidden, a.layers, a.out, n_seeds=a.n_seeds)
