@@ -52,7 +52,11 @@ def _peak_flops() -> float | None:
 
 def _compiled_flops(jitted, *args) -> float | None:
     """FLOPs of one call as counted by XLA's cost analysis on the compiled
-    program (includes every fusion; no hand-modeled terms)."""
+    program (includes every fusion; no hand-modeled terms).
+
+    Caveat: XLA counts a `lax.scan`/while-loop BODY once, not times its trip
+    count — callers must count loop-free programs (e.g. one model forward)
+    and scale by the trip count themselves."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns one dict per device
@@ -113,10 +117,15 @@ def main() -> None:
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
     }
-    flops = _compiled_flops(sample, jax.random.key(1))
+    # XLA's cost analysis counts the sampling scan's body once, so count one
+    # (loop-free) preconditioned forward and scale by the k+1 model calls a
+    # sample makes (k scan steps + the final decode).
+    fwd = jax.jit(lambda mu, t: algo._predict_x(model_fn, mu, t))
+    fwd_flops = _compiled_flops(fwd, mu, t)
     peak = _peak_flops()
-    if flops is not None:
-        tflops = flops * n_iters / elapsed / 1e12
+    if fwd_flops is not None:
+        flops_per_call = fwd_flops * (K_STEPS + 1)
+        tflops = flops_per_call * n_iters / elapsed / 1e12
         record["tflops_per_sec"] = round(tflops, 1)
         if peak is not None:
             record["mfu"] = round(tflops * 1e12 / peak, 3)

@@ -1,10 +1,11 @@
 """Multi-head attention dispatch for TPU.
 
 The reference forces torch SDPA onto its fused CUDA kernels
-(bsi/nn/attention.py:8-19). Our equivalent: a Pallas flash-attention kernel
-for the no-dropout path (sampling / eval — the throughput-critical path) and
-an XLA-fused reference path that supports attention-probability dropout for
-training parity.
+(bsi/nn/attention.py:8-19). Our equivalent: Pallas flash-attention kernels
+(bsi_tpu/ops/flash_attention.py) covering forward, backward, AND
+attention-probability dropout — so both the sampling hot path and the
+training hot path run fused — with an XLA-fused reference formulation as
+the fallback (non-TPU backends, unaligned shapes, long sequences).
 
 Sequence lengths in this framework are small (<= 1024 pixel tokens, <= 256
 patch tokens), so kernels are tuned for short sequences and large batch*heads
@@ -17,6 +18,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from .flash_attention import (
+    MAX_FUSED_TRAIN_SEQ,
+    _partitioned_attention,
+    _partitioned_attention_bwd,
+)
 
 
 def _xla_attention(
@@ -43,27 +51,37 @@ def _xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-@jax.custom_vjp
-def _fused_attention(q, k, v):
-    from .flash_attention import flash_attention
+@functools.cache
+def _fused_sdpa_fn(rate: float):
+    """custom-VJP fused attention for a fixed (static) dropout rate.
 
-    return flash_attention(q, k, v)
+    ``seeds`` is int32 [batch, heads]; with rate > 0 the backward kernel
+    reseeds the TPU PRNG with the same values and regenerates the forward's
+    keep-mask (no mask in HBM). With rate == 0 the q-blocked forward kernel
+    is used and seeds are ignored. Both directions carry SPMD partitioning
+    rules, so this is safe (and scales) under the sharded train/eval jit.
+    """
 
+    @jax.custom_vjp
+    def fused(q, k, v, seeds):
+        return _partitioned_attention(rate)(q, k, v, seeds)
 
-def _fused_attention_fwd(q, k, v):
-    return _fused_attention(q, k, v), (q, k, v)
+    def fused_fwd(q, k, v, seeds):
+        return fused(q, k, v, seeds), (q, k, v, seeds)
 
+    def fused_bwd(residuals, g):
+        q, k, v, seeds = residuals
+        if rate == 0.0 and q.shape[-2] > MAX_FUSED_TRAIN_SEQ:
+            # Whole-sequence backward would not fit VMEM; fall back to the
+            # mathematically identical XLA formulation (no dropout involved).
+            _, vjp = jax.vjp(_xla_attention, q, k, v)
+            dq, dk, dv = vjp(g)
+        else:
+            dq, dk, dv = _partitioned_attention_bwd(rate)(q, k, v, g, seeds)
+        return dq, dk, dv, np.zeros(seeds.shape, jax.dtypes.float0)
 
-def _fused_attention_bwd(residuals, g):
-    # Backward through the mathematically identical XLA formulation — the
-    # fused Pallas kernel stays forward-only (sampling/eval is the hot path;
-    # the training backward is XLA-fused and exact).
-    q, k, v = residuals
-    _, vjp = jax.vjp(_xla_attention, q, k, v)
-    return vjp(g)
-
-
-_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
 
 
 def multi_head_attention(
@@ -77,15 +95,23 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [batch, heads, seq, head_dim].
 
-    Routes to the Pallas flash kernel when available and applicable (no
-    dropout, TPU backend, aligned shapes); otherwise to the XLA path.
-    Differentiable either way (custom VJP on the fused path).
+    Routes to the Pallas flash kernels when applicable (TPU backend, aligned
+    shapes; dropout additionally requires seq <= MAX_FUSED_TRAIN_SEQ for the
+    whole-sequence kernels); otherwise to the XLA path. Differentiable either
+    way (custom VJP with a fused backward kernel on the Pallas path).
     """
+    if use_pallas is None:
+        use_pallas = _pallas_applicable(q)
+    b, h, seq, _ = q.shape
     if dropout_rate == 0.0:
-        if use_pallas is None:
-            use_pallas = _pallas_applicable(q)
         if use_pallas:
-            return _fused_attention(q, k, v)
+            seeds = jnp.zeros((b, h), jnp.int32)
+            return _fused_sdpa_fn(0.0)(q, k, v, seeds)
+    elif use_pallas and seq <= MAX_FUSED_TRAIN_SEQ:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires a dropout_rng")
+        seeds = jax.random.randint(dropout_rng, (b, h), 0, 2**31 - 1, jnp.int32)
+        return _fused_sdpa_fn(float(dropout_rate))(q, k, v, seeds)
     return _xla_attention(q, k, v, dropout_rate=dropout_rate, dropout_rng=dropout_rng)
 
 

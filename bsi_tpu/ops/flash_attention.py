@@ -1,16 +1,29 @@
-"""Fused attention Pallas kernel for TPU.
+"""Fused attention Pallas kernels for TPU: forward, backward, and dropout.
 
 Replaces the reference's reliance on torch's fused SDPA backends
-(bsi/nn/attention.py:8-19). The workloads in this framework are
-short-sequence, huge-batch attention (DiT patch tokens <= 1024, UNet pixel
-tokens <= 4096, batch x heads in the thousands during sampling), so the
-kernel keeps the full K/V for one (batch, head) resident in VMEM and fuses
-QK^T -> softmax -> PV into a single pass per query block — no online-softmax
-streaming is needed below ~8k sequence, and skipping it removes the rescaling
-traffic.
+(bsi/nn/attention.py:8-19) for BOTH directions of the computation. The
+workloads in this framework are short-sequence, huge-batch attention (DiT
+patch tokens <= 1024, UNet pixel tokens <= 4096, batch x heads in the
+thousands), so the kernels keep one (batch, head) slice entirely resident in
+VMEM and fuse QK^T -> softmax [-> dropout] -> PV into a single pass — no
+online-softmax streaming is needed below ~8k sequence, and skipping it
+removes the rescaling traffic.
 
-Softmax statistics are computed in f32 regardless of input dtype (bf16 in
-the sampling path), with the max-subtraction trick for stability.
+Why this matters on TPU: the unfused XLA softmax materializes f32
+[batch, heads, seq, seq] logit tensors in HBM (268 MB per DiT-L layer at
+batch 64). Measured on v5e, attention was 55% of the DiT-L/2 train-step time
+at ~4% of its FLOPs; these kernels close that gap.
+
+Dropout uses the per-core TPU PRNG (`pltpu.prng_*`): the forward and
+backward kernels are seeded identically per (batch*head) slice and
+regenerate the identical keep-mask, so no mask is ever written to HBM. The
+mask/softmax/VJP arithmetic is factored into pure functions
+(`_fwd_math`/`_bwd_math`) shared by the kernels and by CPU tests (the
+interpret-mode tests inject explicit masks; TPU PRNG has no CPU emulation).
+
+Softmax statistics are computed in f32 regardless of input dtype, with the
+max-subtraction trick; probabilities are cast back to the input dtype for
+the MXU contractions.
 """
 
 from __future__ import annotations
@@ -22,22 +35,143 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Whole-(batch*head) slices above this sequence length do not comfortably fit
+# VMEM in the backward kernel (four f32 [seq, seq] intermediates); callers
+# fall back to the XLA path beyond it.
+MAX_FUSED_TRAIN_SEQ = 512
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0]
-    v = v_ref[0]
+
+def _keep_mask(shape: tuple[int, int], keep_prob: float) -> jnp.ndarray:
+    """Bernoulli(keep_prob) mask from the (already seeded) per-core PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = min(int(round(keep_prob * 4294967296.0)), 4294967295)
+    return bits < jnp.uint32(threshold)
+
+
+def _fwd_math(q, k, v, keep, scale, keep_prob):
+    """softmax(q k^T * scale) [dropout] v — f32 softmax, MXU-dtype PV."""
     logits = jax.lax.dot_general(
-        q,
+        q.astype(jnp.float32) * scale,
         k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     logits -= jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    probs = (unnorm / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    probs = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
+    if keep is not None:
+        probs = jnp.where(keep, probs / keep_prob, 0.0)
+    return jnp.dot(probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+
+def _bwd_math(q, k, v, do, keep, scale, keep_prob):
+    """VJP of `_fwd_math` wrt (q, k, v), recomputing the softmax.
+
+    Standard flash-attention backward: with P = softmax(S), Pd = dropout(P),
+    O = Pd V:  dV = Pd^T dO;  dPd = dO V^T;  dP = dropout'(dPd);
+    dS = P * (dP - sum(dP * P, axis=-1));  dQ = dS K * scale;  dK = dS^T Q * scale.
+    """
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q32 * scale,
+        k32,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits -= jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits)
+    probs = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
+    if keep is not None:
+        probs_dropped = jnp.where(keep, probs / keep_prob, 0.0)
+    else:
+        probs_dropped = probs
+
+    in_dtype = v.dtype
+    dv = jax.lax.dot_general(  # Pd^T dO
+        probs_dropped.astype(in_dtype),
+        do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpd = jax.lax.dot_general(  # dO V^T
+        do,
+        v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if keep is not None:
+        dp = jnp.where(keep, dpd / keep_prob, 0.0)
+    else:
+        dp = dpd
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    ds = ds.astype(in_dtype)  # bf16 MXU for the two remaining contractions
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(  # dS^T Q
+        ds,
+        q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    return dq, dk, dv
+
+
+# --------------------------------------------------------- forward kernels
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """No-dropout forward, q blocked (K/V whole) — the sampling hot path."""
+    o_ref[0] = _fwd_math(q_ref[0], k_ref[0], v_ref[0], None, scale, 1.0).astype(
+        o_ref.dtype
+    )
+
+
+def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, keep_prob):
+    """Whole-sequence forward with optional dropout, grouped grid cells.
+
+    ``seed_ref`` holds the full per-slice seed array in SMEM (rank-1 SMEM
+    blocks cannot be split per grid cell); each slice picks its own entry.
+    With ``keep_prob == 1`` the PRNG is skipped entirely (this kernel then
+    doubles as the short-sequence no-dropout forward)."""
+    group = q_ref.shape[0]
+    seq_q, seq_k = q_ref.shape[1], k_ref.shape[1]
+    for j in range(group):
+        if keep_prob < 1.0:
+            pltpu.prng_seed(seed_ref[pl.program_id(0) * group + j])
+            keep = _keep_mask((seq_q, seq_k), keep_prob)
+        else:
+            keep = None
+        o_ref[j] = _fwd_math(q_ref[j], k_ref[j], v_ref[j], keep, scale, keep_prob).astype(
+            o_ref.dtype
+        )
+
+
+def _attn_bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, keep_prob
+):
+    """Backward; regenerates the forward's dropout mask from the same seeds.
+
+    Each grid cell processes a GROUP of (batch*head) slices (blocks are
+    [group, seq, d]) with a static inner loop: one slice per cell leaves the
+    MXU idle behind per-cell pipeline overhead (measured ~2.5 us/cell vs
+    ~0.3 us of compute at DiT-L shapes); grouping amortizes it."""
+    group = q_ref.shape[0]
+    seq_q, seq_k = q_ref.shape[1], k_ref.shape[1]
+    for j in range(group):
+        if keep_prob < 1.0:
+            pltpu.prng_seed(seed_ref[pl.program_id(0) * group + j])
+            keep = _keep_mask((seq_q, seq_k), keep_prob)
+        else:
+            keep = None
+        dq, dk, dv = _bwd_math(
+            q_ref[j], k_ref[j], v_ref[j], do_ref[j], keep, scale, keep_prob
+        )
+        dq_ref[j] = dq.astype(dq_ref.dtype)
+        dk_ref[j] = dk.astype(dk_ref.dtype)
+        dv_ref[j] = dv.astype(dv_ref.dtype)
+
+
+# ----------------------------------------------------------- public calls
 
 
 @functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
@@ -49,7 +183,7 @@ def flash_attention(
     q_block: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused self-attention over ``[batch, heads, seq, head_dim]``.
+    """Fused no-dropout self-attention over ``[batch, heads, seq, head_dim]``.
 
     Requires ``seq`` divisible by the query block (the caller guarantees
     lane-friendly shapes; see ``ops.attention._pallas_applicable``).
@@ -80,3 +214,171 @@ def flash_attention(
         interpret=interpret,
     )(q3, k3, v3)
     return out.reshape(b, h, seq, d)
+
+
+def flash_attention_dropout(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    seeds: jnp.ndarray,
+    *,
+    rate: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused whole-sequence forward, optionally with attention-probability
+    dropout (``rate > 0``).
+
+    ``seeds``: int32 ``[batch * heads]``, one PRNG seed per slice; the
+    backward pass regenerates the identical mask from the same seeds.
+    (``interpret`` only works with ``rate == 0`` — the TPU PRNG has no CPU
+    emulation.)
+    """
+    b, h, seq, d = q.shape
+    bh = b * h
+    keep_prob = 1.0 - rate
+
+    group = 1
+    for g in (8, 4, 2):
+        if bh % g == 0 and g * seq <= 2048:
+            group = g
+            break
+    spec = pl.BlockSpec((group, seq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_dropout_kernel, scale=1.0 / (d**0.5), keep_prob=keep_prob
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, seq, d), q.dtype),
+        grid=(bh // group,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full seed array, every cell
+            spec,
+            spec,
+            spec,
+        ],
+        out_specs=spec,
+        interpret=interpret,
+    )(seeds, q.reshape(bh, seq, d), k.reshape(bh, seq, d), v.reshape(bh, seq, d))
+    return out.reshape(b, h, seq, d)
+
+
+def flash_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    do: jnp.ndarray,
+    seeds: jnp.ndarray,
+    *,
+    rate: float,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused backward: (dq, dk, dv) for the fused forward (with or without
+    dropout). Whole-sequence per (batch*head) grid cell."""
+    b, h, seq, d = q.shape
+    bh = b * h
+    keep_prob = 1.0 - rate
+    shape3 = jax.ShapeDtypeStruct((bh, seq, d), q.dtype)
+
+    # Slices per grid cell: amortize per-cell pipeline overhead while keeping
+    # group * seq small enough that inputs + f32 intermediates fit VMEM.
+    group = 1
+    for g in (8, 4, 2):
+        if bh % g == 0 and g * seq <= 2048:
+            group = g
+            break
+    spec = pl.BlockSpec((group, seq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=1.0 / (d**0.5), keep_prob=keep_prob),
+        out_shape=(shape3, shape3, shape3),
+        grid=(bh // group,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full seed array, every cell
+            spec,
+            spec,
+            spec,
+            spec,
+        ],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(
+        seeds,
+        q.reshape(bh, seq, d),
+        k.reshape(bh, seq, d),
+        v.reshape(bh, seq, d),
+        do.reshape(bh, seq, d),
+    )
+    unflat = lambda x: x.reshape(b, h, seq, d)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+# ------------------------------------------------- SPMD partitioning rules
+#
+# Under a sharded jit (GSPMD/Shardy), a bare pallas_call is REPLICATED: XLA
+# all-gathers the batch to every device and each one runs the full kernel —
+# silently destroying data-parallel scaling (measured: output sharding
+# collapses to PartitionSpec()). Every grid cell of these kernels touches
+# exactly one (batch, head) slice, so the correct rule is "shard batch and
+# heads, replicate seq and head_dim" — declared here via custom_partitioning
+# so the trainer's jit-with-NamedSharding path (bsi_tpu/parallel/mesh.py)
+# partitions attention like any other op. Outside a mesh these wrappers are
+# pass-through.
+#
+# Seeds are carried as [batch, heads] at this boundary (the flat [batch*heads]
+# form cannot be tied to q's factors by the sharding rule).
+
+
+def _make_partition(local_fn):
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(a.sharding for a in arg_shapes)
+        if isinstance(result_shape, (list, tuple)):
+            result_shardings = tuple(arg_shapes[0].sharding for _ in result_shape)
+        else:
+            result_shardings = arg_shapes[0].sharding
+        return mesh, local_fn, result_shardings, arg_shardings
+
+    return partition
+
+
+@functools.cache
+def _partitioned_attention(rate: float):
+    """Sharded-jit-safe fused forward for a static dropout rate.
+
+    ``seeds2d``: int32 [batch, heads]; ignored when ``rate == 0``.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def local_fn(q, k, v, seeds2d):
+        if rate > 0.0 or q.shape[-2] <= MAX_FUSED_TRAIN_SEQ:
+            # The whole-sequence grouped kernel (with the PRNG compiled out
+            # at rate 0) measures faster than the q-blocked variant at short
+            # sequences; the q-blocked kernel remains for longer sequences.
+            return flash_attention_dropout(q, k, v, seeds2d.reshape(-1), rate=rate)
+        return flash_attention(q, k, v)
+
+    f = custom_partitioning(local_fn)
+    f.def_partition(
+        partition=_make_partition(local_fn),
+        sharding_rule="b h s d, b h s d, b h s d, b h -> b h s d",
+        need_replication_factors=("s", "d"),
+    )
+    return f
+
+
+@functools.cache
+def _partitioned_attention_bwd(rate: float):
+    """Sharded-jit-safe fused backward for a static dropout rate."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def local_fn(q, k, v, do, seeds2d):
+        return flash_attention_bwd(q, k, v, do, seeds2d.reshape(-1), rate=rate)
+
+    f = custom_partitioning(local_fn)
+    f.def_partition(
+        partition=_make_partition(local_fn),
+        sharding_rule=(
+            "b h s d, b h s d, b h s d, b h s d, b h -> b h s d, b h s d, b h s d"
+        ),
+        need_replication_factors=("s", "d"),
+    )
+    return f
