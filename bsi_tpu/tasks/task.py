@@ -143,6 +143,15 @@ def build_task(
             Path(run_dir) / "profile", num_steps=int(trainer_cfg["profile_steps"])
         )
 
+    # Tensor parallelism: carve a model axis out of the device grid; the
+    # Trainer applies Megatron column/row weight shardings when it is > 1
+    if mesh is None and int(trainer_cfg.get("model_parallelism", 1) or 1) > 1:
+        from bsi_tpu.parallel import make_mesh
+
+        mesh = make_mesh(
+            model_parallelism=int(trainer_cfg["model_parallelism"])
+        )
+
     max_steps = int(trainer_cfg.get("max_steps", 10000))
     optimizer = build_optimizer(
         task_cfg["optimizer"],

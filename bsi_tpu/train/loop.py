@@ -123,7 +123,14 @@ class Trainer:
     def _state_sharding_for(self, state):
         """Replicated by default; FSDP shards large leaves over the data axis
         (ZeRO-3 via XLA SPMD — all-gather/reduce-scatter inserted by the
-        compiler; see bsi_tpu/parallel/fsdp.py)."""
+        compiler; see bsi_tpu/parallel/fsdp.py). When the mesh has a model
+        axis > 1, weight matrices additionally shard tensor-parallel in
+        Megatron column/row pairs (bsi_tpu/parallel/tensor.py), composing
+        with FSDP on the remaining dims."""
+        if self.mesh.shape.get("model", 1) > 1:
+            from bsi_tpu.parallel.tensor import tp_state_sharding
+
+            return tp_state_sharding(state, self.mesh, fsdp=self.fsdp)
         if not self.fsdp:
             return self._rep
         from bsi_tpu.parallel.fsdp import fsdp_state_sharding
