@@ -54,6 +54,31 @@ class FeatureStats:
         return stats
 
 
+def reduce_stats_across_processes(stats: FeatureStats) -> FeatureStats:
+    """Sum a host-local :class:`FeatureStats` across all JAX processes.
+
+    The accumulator is additive in (n, sum, cov_sum) — the same property
+    torchmetrics relies on for its DDP state reduction
+    (bsi/tasks/metrics/fid.py:72-77) — so multi-host validation-time FID is
+    one all-gather of the packed statistics. No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return stats
+    from jax.experimental import multihost_utils
+
+    packed = np.concatenate(
+        [np.asarray([stats.n], np.float64), stats.sum, stats.cov_sum.ravel()]
+    )
+    total = np.asarray(multihost_utils.process_allgather(packed), np.float64).sum(axis=0)
+    dim = len(stats.sum)
+    out = FeatureStats(dim)
+    out.n = int(round(total[0]))
+    out.sum = total[1 : 1 + dim]
+    out.cov_sum = total[1 + dim :].reshape(dim, dim)
+    return out
+
+
 def frechet_distance(
     mean1: np.ndarray, cov1: np.ndarray, mean2: np.ndarray, cov2: np.ndarray
 ) -> float:

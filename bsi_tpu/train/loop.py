@@ -330,15 +330,9 @@ class Trainer:
         rng = jax.random.key((0x5EED ^ self.seed) % (2**63))
         from bsi_tpu.parallel.distributed import put_host_batch
 
-        if self.fid_metrics and jax.process_count() > 1:
-            # Streaming FID is host-local; multi-process sample metrics would
-            # need a cross-host stats reduction. Documented limitation.
-            self.logger.console_line("FID skipped: not supported multi-process")
-        fid_active = self.fid_metrics if jax.process_count() == 1 else {}
-
         metrics: dict[str, float] = {}
         for name, split in splits.items():
-            fid = fid_active.get(name)
+            fid = self.fid_metrics.get(name)
             sums = {"elbo_sum": 0.0, "bpd_sum": 0.0, "count": 0.0}
             for i, (batch, mask) in enumerate(self.data.eval_batches(split)):
                 if self.limit_eval_batches is not None and i >= self.limit_eval_batches:
@@ -362,8 +356,17 @@ class Trainer:
             if sums["count"] > 0:
                 metrics[f"{prefix}/elbo"] = sums["elbo_sum"] / sums["count"]
                 metrics[f"{prefix}/bpd"] = sums["bpd_sum"] / sums["count"]
-            if fid is not None and fid.fake_stats.n >= 2:
-                metrics[f"{prefix}/fid-{fid.fake_stats.sum.shape[0]}"] = fid.compute()
+            if fid is not None:
+                # Multi-host: each process accumulated stats over its own
+                # sample shard; sum them before the distance (the additive-
+                # stats analogue of torchmetrics' DDP reduction).
+                from bsi_tpu.metrics.fid import fid_from_stats, reduce_stats_across_processes
+
+                fake = reduce_stats_across_processes(fid.fake_stats)
+                if fake.n >= 2:
+                    metrics[f"{prefix}/fid-{fake.sum.shape[0]}"] = fid_from_stats(
+                        fake, fid.real_stats
+                    )
                 fid.reset()
         step = int(self.state.step)
         self.logger.log(step, metrics)
@@ -378,20 +381,37 @@ class Trainer:
     def test(self) -> dict:
         return self.validate(stage="test")
 
-    def _update_fid(self, fid, rng, n_samples: int, mask: np.ndarray) -> None:
-        """Draw ``n_samples`` with the EMA model and feed the unpadded rows
-        into the streaming FID accumulator."""
+    def _update_fid(self, fid, rng, n_local: int, mask: np.ndarray) -> None:
+        """Draw one sample per eval example with the EMA model and feed the
+        unpadded rows into the streaming FID accumulator.
+
+        Multi-host: all processes draw the GLOBAL sample batch in lockstep
+        (hosts run equal-size eval shards, so global = local x processes);
+        each process then embeds only the rows on its own devices and keeps
+        its local mask's count of them. The per-host stats are summed at
+        compute time (reduce_stats_across_processes)."""
+        from bsi_tpu.metrics.fid import images_to_uint8
+
         if self._fid_sample is None:
             self._fid_sample = jax.jit(
                 lambda state, rng, n: self.data.discretization().to_unit_interval(
                     self.sample_fn(state, rng, n)
                 ),
                 static_argnums=2,
+                out_shardings=self._shard,
             )
-        samples01 = np.asarray(self._fid_sample(self.state, rng, n_samples))
-        from bsi_tpu.metrics.fid import images_to_uint8
-
-        fid.update(images_to_uint8(samples01[mask]))
+        nproc = jax.process_count()
+        samples01 = self._fid_sample(self.state, rng, n_local * nproc)
+        if nproc == 1:
+            fid.update(images_to_uint8(np.asarray(samples01)[mask]))
+            return
+        shards = sorted(
+            samples01.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        # samples are iid draws, not paired with data rows: the mask only
+        # fixes how many this host contributes (global total = split size)
+        fid.update(images_to_uint8(local[: int(mask.sum())]))
 
     # ------------------------------------------------------------ checkpoints
 

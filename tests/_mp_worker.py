@@ -48,7 +48,7 @@ def main() -> None:
     from bsi_tpu.parallel.distributed import host_shard
     from bsi_tpu.train import EMAConfig, Trainer, make_optimizer
 
-    shape = (4, 4, 1)
+    shape = (4, 4, 3)
     # All examples identical: the global loss is invariant to how hosts
     # assemble the batch, so 2-process must match 1-process exactly.
     value = 2 * (128 / 255) - 1  # an exact 8-bit bin center
@@ -76,6 +76,23 @@ def main() -> None:
         data_shape=shape, pos_emb=NyquistPositionalEmbedding(8, 100),
         hidden_width=32, layers=2,
     )
+    # Validation-time FID with a stub embedder: per-host sample shards are
+    # accumulated locally and summed across processes at compute time, so the
+    # 2-process value must equal the 1-process value (identical global
+    # samples from the same fixed eval key).
+    from bsi_tpu.metrics.fid import FeatureStats, FIDScore
+
+    def stub_embed(images_uint8):
+        x = np.asarray(images_uint8, np.float64) / 255.0
+        return np.stack(
+            [x.mean(axis=(1, 2, 3)), x.std(axis=(1, 2, 3)),
+             x[:, 0].mean(axis=(1, 2)), x[:, -1].mean(axis=(1, 2))], axis=1
+        )
+
+    real_stats = FeatureStats(4)
+    real_stats.update(stub_embed((255 * (0.5 * (val + 1))).astype(np.uint8)))
+    fid_metrics = {"val": FIDScore(stub_embed, real_stats)}
+
     run_dir = os.path.join(os.path.dirname(out_json), f"run_nproc{nproc}")
     trainer = Trainer(
         algorithm=algo,
@@ -89,6 +106,7 @@ def main() -> None:
         run_dir=run_dir,
         seed=0,
         mesh=make_mesh(),
+        fid_metrics=fid_metrics,
     )
     metrics = trainer.fit()
 
@@ -104,6 +122,7 @@ def main() -> None:
         "devices": len(jax.devices()),
         "loss": metrics["train/loss"],
         "val_bpd": metrics["val/bpd"],
+        "val_fid": metrics["val/fid-4"],
         "val_count_ok": True,
         "param_sum": param_sum,
     }

@@ -70,3 +70,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     npt.assert_allclose(double[0]["val_bpd"], single["val_bpd"], rtol=1e-5)
     npt.assert_allclose(double[0]["param_sum"], single["param_sum"], rtol=1e-5)
     assert double[0]["devices"] == 4 and single["devices"] == 2
+
+    # validation-time FID: per-host sample stats summed across processes
+    # must reproduce the single-process value (same global samples)
+    npt.assert_allclose(double[0]["val_fid"], double[1]["val_fid"], rtol=1e-10)
+    npt.assert_allclose(double[0]["val_fid"], single["val_fid"], rtol=1e-6)
