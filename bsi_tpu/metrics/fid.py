@@ -70,7 +70,13 @@ def reduce_stats_across_processes(stats: FeatureStats) -> FeatureStats:
     packed = np.concatenate(
         [np.asarray([stats.n], np.float64), stats.sum, stats.cov_sum.ravel()]
     )
-    total = np.asarray(multihost_utils.process_allgather(packed), np.float64).sum(axis=0)
+    # Ship the f64 payload BIT-EXACTLY as uint32 pairs: without
+    # jax_enable_x64 (production never sets it) device transfer would
+    # silently round the f64 stats to f32, corrupting the covariance sums.
+    gathered = np.asarray(
+        multihost_utils.process_allgather(packed.view(np.uint32))
+    )  # [P, 2 * len]
+    total = gathered.view(np.float64).sum(axis=0)
     dim = len(stats.sum)
     out = FeatureStats(dim)
     out.n = int(round(total[0]))

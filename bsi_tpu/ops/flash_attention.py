@@ -41,6 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_FUSED_TRAIN_SEQ = 512
 
 
+def _pick_group(bh: int, seq: int) -> int:
+    """Slices per grid cell for the whole-sequence kernels: amortize per-cell
+    pipeline overhead while keeping group * seq (inputs + f32 [seq, seq]
+    intermediates) inside VMEM. MUST be identical for the forward and
+    backward kernels — per-slice PRNG seeding indexes ``cell * group + j``."""
+    for g in (8, 4, 2):
+        if bh % g == 0 and g * seq <= 2048:
+            return g
+    return 1
+
+
 def _keep_mask(shape: tuple[int, int], keep_prob: float) -> jnp.ndarray:
     """Bernoulli(keep_prob) mask from the (already seeded) per-core PRNG."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -237,11 +248,7 @@ def flash_attention_dropout(
     bh = b * h
     keep_prob = 1.0 - rate
 
-    group = 1
-    for g in (8, 4, 2):
-        if bh % g == 0 and g * seq <= 2048:
-            group = g
-            break
+    group = _pick_group(bh, seq)
     spec = pl.BlockSpec((group, seq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
@@ -279,13 +286,7 @@ def flash_attention_bwd(
     keep_prob = 1.0 - rate
     shape3 = jax.ShapeDtypeStruct((bh, seq, d), q.dtype)
 
-    # Slices per grid cell: amortize per-cell pipeline overhead while keeping
-    # group * seq small enough that inputs + f32 intermediates fit VMEM.
-    group = 1
-    for g in (8, 4, 2):
-        if bh % g == 0 and g * seq <= 2048:
-            group = g
-            break
+    group = _pick_group(bh, seq)
     spec = pl.BlockSpec((group, seq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     dq, dk, dv = pl.pallas_call(

@@ -18,18 +18,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS
 
 
+def assign_zero3_dim(spec: list, shape, axis_size: int, min_size: int) -> list:
+    """Put DATA_AXIS on the largest free divisible dim of ``spec`` (in
+    place) when the leaf is large enough — the single source of the ZeRO-3
+    leaf policy, shared with the tensor-parallel composition
+    (bsi_tpu/parallel/tensor.py)."""
+    if not shape or int(np.prod(shape)) < min_size:
+        return spec
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if spec[i] is None and shape[i] % axis_size == 0:
+            spec[i] = DATA_AXIS
+            break
+    return spec
+
+
 def _leaf_spec(leaf, axis_size: int, min_size: int) -> P:
     shape = getattr(leaf, "shape", ())
-    if not shape or int(np.prod(shape)) < min_size:
-        return P()
-    # shard the largest divisible axis
-    order = sorted(range(len(shape)), key=lambda i: -shape[i])
-    for i in order:
-        if shape[i] % axis_size == 0:
-            spec = [None] * len(shape)
-            spec[i] = DATA_AXIS
-            return P(*spec)
-    return P()
+    spec = assign_zero3_dim([None] * len(shape), shape, axis_size, min_size)
+    return P(*spec)
 
 
 def fsdp_state_sharding(state, mesh: Mesh, *, min_size: int = 2**14):

@@ -6,13 +6,20 @@ in column/row pairs so each pair costs ONE all-reduce of the pair's output —
 XLA GSPMD inserts the collectives from the parameter shardings alone, no
 model-code changes:
 
-- attention: ``to_qkv`` column-parallel (heads split across chips),
-  ``to_out`` row-parallel. The Pallas attention kernels' sharding rules
-  (bsi_tpu/ops/flash_attention.py) leave the head factor free, so the fused
-  kernels run on their local heads.
+- attention: ``to_out`` row-parallel (partial products + one all-reduce).
+  ``to_qkv`` stays REPLICATED: its output packs ``[q|k|v]`` along one dim,
+  so a plain column sharding puts the ``jnp.split`` boundaries inside
+  shards and GSPMD would reshard the qkv activation in every layer —
+  head-aligned qkv sharding needs head-major weight packing, which would
+  break checkpoint/weight-transfer compatibility with the reference layout
+  (bsi/models/dit.py:26-47). Row-parallel ``to_out`` consumes its
+  replicated input with a local slice (no communication), so the attention
+  block still costs exactly one all-reduce.
 - MLP stacks: alternating column/row by layer index (``Dense_0`` column,
-  ``Dense_1`` row, ...).
-- adaLN conditioning: ``ada_in`` column-parallel, ``ada_out`` row-parallel.
+  ``Dense_1`` row, ...) — the Megatron pair, one all-reduce per MLP.
+- adaLN conditioning: ``ada_in`` column-parallel, ``ada_out`` row-parallel
+  (``ada_out``'s packed 6-way split happens on its REPLICATED output, after
+  the pair's all-reduce, so no boundary issue).
 - Everything else (norms, biases, embeddings, conv bodies) stays replicated.
 
 Rules are name-based over the flax param tree and apply uniformly to params,
@@ -26,7 +33,6 @@ from __future__ import annotations
 import re
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS
@@ -34,7 +40,6 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 # column-parallel: shard the OUTPUT dim (last); row-parallel: shard the
 # INPUT dim (second-to-last — also correct for NHWC conv kernels [kh,kw,in,out])
 _COL_RULES = (
-    r"(^|/)to_qkv/kernel$",
     r"(^|/)ada_in/kernel$",
     r"(^|/)Dense_(\d*[02468])/kernel$",
 )
@@ -68,17 +73,16 @@ def tp_state_sharding(
 ):
     """Per-leaf NamedShardings for a TrainState: TP over ``model`` (and
     optionally ZeRO-3 over ``data`` on a second dim)."""
+    from .fsdp import assign_zero3_dim
+
     tp = mesh.shape[MODEL_AXIS]
     data_size = mesh.shape[DATA_AXIS]
 
     def to_sharding(path, leaf):
         shape = getattr(leaf, "shape", ())
         spec = tp_leaf_spec(_path_str(path), shape, tp)
-        if fsdp and shape and int(np.prod(shape)) >= min_size:
-            for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
-                if spec[i] is None and shape[i] % data_size == 0:
-                    spec[i] = DATA_AXIS
-                    break
+        if fsdp:
+            spec = assign_zero3_dim(spec, shape, data_size, min_size)
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(to_sharding, state)

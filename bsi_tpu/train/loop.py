@@ -405,10 +405,15 @@ class Trainer:
         if nproc == 1:
             fid.update(images_to_uint8(np.asarray(samples01)[mask]))
             return
-        shards = sorted(
-            samples01.addressable_shards, key=lambda s: s.index[0].start or 0
+        # addressable_shards has one entry per local DEVICE; with a model
+        # axis the batch shards are replicated across it, so dedup by the
+        # shard's batch range or replicated rows would be double-counted
+        unique = {}
+        for s in samples01.addressable_shards:
+            unique.setdefault(s.index[0].start or 0, s)
+        local = np.concatenate(
+            [np.asarray(unique[start].data) for start in sorted(unique)], axis=0
         )
-        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
         # samples are iid draws, not paired with data rows: the mask only
         # fixes how many this host contributes (global total = split size)
         fid.update(images_to_uint8(local[: int(mask.sum())]))

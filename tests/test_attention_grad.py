@@ -160,6 +160,29 @@ def test_fused_attention_shards_over_batch(monkeypatch):
     npt.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-4)
 
 
+def test_fused_attention_shards_over_heads(monkeypatch):
+    """Tensor parallelism shards attention HEADS over the model axis; the
+    kernel's sharding rule leaves the head factor free, so the fused path
+    must accept head-sharded operands and produce head-sharded output."""
+    _interpret_kernels(monkeypatch)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    q, k, v = _qkv(shape=(8, 4, 128, 64), seed=13)
+    seeds = jnp.zeros((8, 4), jnp.int32)
+    sh = NamedSharding(mesh, P("data", "model"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    ss = jax.device_put(seeds, sh)
+
+    fused = _fused_sdpa_fn(0.0)
+    out = jax.jit(fused)(qs, ks, vs, ss)
+    assert out.sharding.spec[:2] == ("data", "model"), out.sharding
+    npt.assert_allclose(
+        np.asarray(out), np.asarray(_xla_attention(q, k, v)), atol=5e-4
+    )
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU PRNG kernels")
 def test_dropout_kernels_fwd_bwd_consistent_on_tpu():
     """On real TPU: dump the in-kernel PRNG mask with a third kernel seeded

@@ -57,15 +57,17 @@ def test_tp_matches_replicated(tmp_path):
     w_tp = np.asarray(jax.tree.leaves(t_tp.state.params)[0])
     npt.assert_allclose(w_rep, w_tp, atol=1e-5)
 
-    # the intended weights actually shard over the model axis
+    # the intended weights actually shard over the model axis...
     paths = _model_axis_paths(t_tp.state, mesh_tp)
-    assert any("to_qkv/kernel" in p for p in paths), paths
     assert any("to_out/kernel" in p for p in paths), paths
     assert any("mlp/Dense_0/kernel" in p for p in paths), paths
     assert any("ada_out/kernel" in p for p in paths), paths
-    # optimizer moments mirror the param shardings
-    assert any("to_qkv" in p and ("mu" in p or "nu" in p or "opt_state" in p)
-               for p in paths) or True  # path naming of opt_state varies
+    # ...to_qkv is deliberately replicated (packed [q|k|v] split boundaries)
+    assert not any("to_qkv" in p for p in paths), paths
+    # optimizer moments and EMA mirror the param shardings
+    to_out_sharded = [p for p in paths if "to_out/kernel" in p]
+    assert any("ema_params" in p for p in to_out_sharded), paths
+    assert any("opt_state" in p for p in to_out_sharded), paths
 
     # validation runs on the TP-sharded state
     assert np.isfinite(t_tp.validate()["val/bpd"])
@@ -91,13 +93,12 @@ def test_tp_indivisible_dims_stay_replicated():
     from bsi_tpu.parallel.tensor import tp_leaf_spec
 
     # dim not divisible by tp -> replicated, never an error
-    assert tp_leaf_spec("block/attn/to_qkv/kernel", (7, 9), 4) == [None, None]
-    assert tp_leaf_spec("block/attn/to_qkv/kernel", (8, 12), 4) == [None, MODEL_AXIS]
+    assert tp_leaf_spec("block/mlp/Dense_0/kernel", (7, 9), 4) == [None, None]
+    assert tp_leaf_spec("block/mlp/Dense_0/kernel", (8, 12), 4) == [None, MODEL_AXIS]
     assert tp_leaf_spec("block/attn/to_out/kernel", (8, 12), 4) == [MODEL_AXIS, None]
-    # conv kernels shard in/out channel dims, never the spatial dims
-    assert tp_leaf_spec("unet/attn/to_qkv/kernel", (3, 3, 8, 24), 4) == [
-        None, None, None, MODEL_AXIS,
-    ]
+    # packed-qkv projections stay replicated (split-boundary misalignment)
+    assert tp_leaf_spec("block/attn/to_qkv/kernel", (8, 24), 4) == [None, None]
+    # conv kernels shard the input-channel dim, never the spatial dims
     assert tp_leaf_spec("unet/attn/to_out/kernel", (3, 3, 8, 8), 4) == [
         None, None, MODEL_AXIS, None,
     ]
