@@ -48,13 +48,22 @@ def make_optimizer(
     weight_decay: float = 0.01,
     eps: float = 1e-8,
     gradient_clip: Optional[float] = 1.0,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
-    """AdamW/Adam with optional global-norm gradient clipping."""
+    """AdamW/Adam with optional global-norm gradient clipping.
+
+    ``mu_dtype="bfloat16"`` stores the first moment in bf16, cutting
+    optimizer-state HBM by 1/4 for large models (DiT-L: ~0.5 GB/chip); the
+    second moment and parameters stay f32.
+    """
     b1, b2 = betas
     if name == "adamw":
-        opt = optax.adamw(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        opt = optax.adamw(
+            schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            mu_dtype=mu_dtype,
+        )
     elif name == "adam":
-        opt = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+        opt = optax.adam(schedule, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
     else:
         raise ValueError(f"Unknown optimizer {name!r}")
     if gradient_clip is not None:

@@ -71,3 +71,23 @@ def test_schedules_drive_sampler(bsi):
         s = bsi.sample(model, jax.random.key(0), 2, t=t)
         assert s.shape == (2, 4)
         assert bool(jnp.isfinite(s).all())
+
+
+def test_mu_dtype_bf16_optimizer():
+    """optimizer.mu_dtype stores the Adam first moment in bf16 (state-memory
+    lever for large models) while keeping params/updates f32."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bsi_tpu.train import make_optimizer
+
+    tx = make_optimizer(1e-3, mu_dtype="bfloat16")
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    state = tx.init(params)
+    adam_state = [s for s in jax.tree.leaves(state) if hasattr(s, "dtype")]
+    assert any(s.dtype == jnp.bfloat16 for s in adam_state), [s.dtype for s in adam_state]
+    grads = {"w": jnp.full((8, 8), 0.1, jnp.float32)}
+    updates, state = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert jax.tree.leaves(new_params)[0].dtype == jnp.float32
