@@ -85,3 +85,38 @@ def test_model_parallelism_via_cli(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_eval_testset_tests_best_checkpoint(tmp_path):
+    """eval_testset=yes restores ckpt_best before testing (the reference's
+    trainer.test(ckpt_path='best'), /root/reference/train.py:219-221)."""
+    sys.path.insert(0, str(REPO))
+    import train as train_cli
+
+    rc = train_cli.main(
+        [
+            "task=bsi",
+            "data=synthetic",
+            "data.n_train=32",
+            "data.n_val=8",
+            "data.batch_size=8",
+            "task.model=mlp",
+            "task.model.hidden_width=32",
+            "task.algorithm.k=3",
+            "task.ema.update_after_step=1",
+            "mode=debug",
+            "eval_testset=yes",
+            "trainer.max_steps=4",
+            "trainer.val_check_interval=2",
+            "seed=1",
+            f"run_root={tmp_path}/runs",
+        ]
+    )
+    assert rc == 0
+    run_dir = next((tmp_path / "runs" / "exploring").iterdir())
+    assert (run_dir / "ckpt_best").exists()
+    metrics = [
+        __import__("json").loads(line)
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any(any(k.startswith("test/") for k in m) for m in metrics)

@@ -74,8 +74,12 @@ def run_one(config: dict) -> dict:
     try:
         metrics = trainer.fit(from_checkpoint=from_ckpt)
         if config.get("eval_testset") and not metrics.get("preempted"):
+            # The reference tests the BEST checkpoint, not the final state
+            # (trainer.test(ckpt_path="best"), /root/reference/train.py:219-221)
+            best_ckpt = trainer.run_dir / "ckpt_best"
+            if best_ckpt.exists():
+                trainer.restore(best_ckpt)
             metrics.update(trainer.test())
-            trainer.save("last")
     finally:
         preemption.uninstall()
         logger.close()
