@@ -48,12 +48,17 @@ def main() -> None:
 
     @jax.jit
     def batch_errors(rng, x):
-        lam = jnp.broadcast_to(lambdas[:, None], (n, x.shape[0]))
-        mu = algo._sample_q_mu_lambda(rng, x, lam)
-        flat = mu.reshape((-1,) + mu.shape[2:])
-        x_hat = algo._predict_x(model_fn, flat, jnp.repeat(t, x.shape[0]))
-        x_hat = x_hat.reshape(mu.shape)
-        return ((x[None] - x_hat) ** 2).reshape(n, x.shape[0], -1).mean(-1)
+        # One model forward per lambda via lax.map: materializing all
+        # n_lambdas x batch forwards at once OOMs at real model scale
+        # (46 GB for the CIFAR UNet at n=32, batch 128)
+        def one_lambda(args_):
+            lam_i, t_i, key = args_
+            mu = algo._sample_q_mu_lambda(key, x, jnp.full((x.shape[0],), lam_i))
+            x_hat = algo._predict_x(model_fn, mu, jnp.full((x.shape[0],), t_i))
+            return ((x - x_hat) ** 2).reshape(x.shape[0], -1).mean(-1)
+
+        keys = jax.random.split(rng, n)
+        return jax.lax.map(one_lambda, (lambdas, t, keys))
 
     rng = jax.random.key(args.seed)
     errors = []
