@@ -16,6 +16,9 @@ import jax
 import numpy as np
 
 
+_initialized = False
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -26,9 +29,16 @@ def initialize_distributed(
     No-ops in single-process settings. On TPU pods the arguments are
     auto-detected from the environment; explicit values support DCN/GPU-style
     setups (``JAX_COORDINATOR_ADDRESS`` etc. also respected).
+
+    CRITICAL ORDERING: multi-process-ness is decided from the environment
+    ALONE — no ``jax.*`` call happens before ``jax.distributed.initialize``,
+    because any JAX API touch (even ``jax.process_count()``) instantiates the
+    local XLA backend, after which distributed initialization fails. This is
+    the one code path a real TPU pod takes through ``train.py``.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _initialized
+    if _initialized:
+        return
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
@@ -41,6 +51,7 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+        _initialized = True
 
 
 def host_shard() -> tuple[int, int]:

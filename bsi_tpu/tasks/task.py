@@ -71,6 +71,8 @@ def build_schedule(ls_cfg: Optional[dict], opt_cfg: dict, max_steps: int):
 
 
 def build_optimizer(opt_cfg: dict, ls_cfg: Optional[dict], max_steps: int, gradient_clip):
+    """Returns ``(optimizer, schedule)`` — the schedule also feeds train/lr
+    logging (the LearningRateMonitor analogue, /root/reference/train.py:120)."""
     schedule = build_schedule(ls_cfg, opt_cfg, max_steps)
     return make_optimizer(
         schedule,
@@ -79,7 +81,7 @@ def build_optimizer(opt_cfg: dict, ls_cfg: Optional[dict], max_steps: int, gradi
         weight_decay=float(opt_cfg.get("weight_decay", 0.01)),
         gradient_clip=gradient_clip,
         mu_dtype=opt_cfg.get("mu_dtype"),
-    )
+    ), schedule
 
 
 def build_ema(ema_cfg: Optional[dict]) -> EMAConfig:
@@ -154,7 +156,7 @@ def build_task(
         )
 
     max_steps = int(trainer_cfg.get("max_steps", 10000))
-    optimizer = build_optimizer(
+    optimizer, lr_schedule = build_optimizer(
         task_cfg["optimizer"],
         task_cfg.get("lr_scheduler"),
         max_steps,
@@ -186,4 +188,5 @@ def build_task(
         fsdp=bool(trainer_cfg.get("fsdp", False)),
         fid_metrics=fid_metrics,
         accumulate_grad_batches=int(trainer_cfg.get("accumulate_grad_batches", 1) or 1),
+        lr_schedule=lr_schedule,
     )

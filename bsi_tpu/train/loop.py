@@ -61,6 +61,7 @@ class Trainer:
         fsdp: bool = False,
         fid_metrics: Optional[dict] = None,
         accumulate_grad_batches: int = 1,
+        lr_schedule=None,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -84,6 +85,9 @@ class Trainer:
         # see bsi_tpu.metrics.fid.build_validation_fid. Mirrors the reference's
         # per-stage sample metrics (bsi/tasks/bsi.py:147-153,168-178).
         self.fid_metrics = fid_metrics or {}
+        # Schedule (or constant) used only for logging train/lr — the
+        # LearningRateMonitor analogue (/root/reference/train.py:120)
+        self.lr_schedule = lr_schedule
         self.best_bpd = float("inf")
         # Gradient accumulation: batch_size is the optimizer-step batch and
         # is split into this many sequential micro-batches on device (the
@@ -284,6 +288,9 @@ class Trainer:
                     )
                 dt = time.time() - t_log
                 host["train/steps_per_sec"] = self.log_every / dt if dt > 0 else 0.0
+                if self.lr_schedule is not None:
+                    lr = self.lr_schedule
+                    host["train/lr"] = float(lr(step) if callable(lr) else lr)
                 t_log = time.time()
                 self.logger.log(step + 1, host)
                 self.logger.console_line(
@@ -318,6 +325,10 @@ class Trainer:
 
         if self.profiler is not None:
             self.profiler.close()
+        if np.isfinite(self.best_bpd):
+            # The monitored best-checkpoint score — what the reference returns
+            # as the sweep objective (/root/reference/train.py:226-227)
+            last_metrics["best/bpd"] = self.best_bpd
         return last_metrics
 
     # ------------------------------------------------------------------- eval
@@ -333,7 +344,7 @@ class Trainer:
         metrics: dict[str, float] = {}
         for name, split in splits.items():
             fid = self.fid_metrics.get(name)
-            sums = {"elbo_sum": 0.0, "bpd_sum": 0.0, "count": 0.0}
+            sums: dict[str, float] = {}
             for i, (batch, mask) in enumerate(self.data.eval_batches(split)):
                 if self.limit_eval_batches is not None and i >= self.limit_eval_batches:
                     break
@@ -344,18 +355,24 @@ class Trainer:
                     put_host_batch(self.mesh, np.asarray(mask)),
                     sub,
                 )
-                for k in sums:
-                    sums[k] += float(out[k])
+                for k, v in out.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
                 if fid is not None:
                     # One generated sample per real eval example, like the
                     # reference's eval_step (bsi/tasks/bsi.py:244-252); padded
                     # rows are masked out so FID sees exactly the split size.
                     rng, sub = jax.random.split(rng)
                     self._update_fid(fid, sub, len(batch), np.asarray(mask, bool))
-            prefix = stage if name != "train" else f"{stage}_on_train"
-            if sums["count"] > 0:
+            # The train-subset loader logs under a plain "train" prefix in BOTH
+            # the val and test stages, exactly like the reference
+            # (bsi/tasks/bsi.py:205-211 sets stage="train" for loader idx 1)
+            prefix = stage if name != "train" else "train"
+            if sums.get("count", 0.0) > 0:
                 metrics[f"{prefix}/elbo"] = sums["elbo_sum"] / sums["count"]
                 metrics[f"{prefix}/bpd"] = sums["bpd_sum"] / sums["count"]
+                for k, v in sums.items():
+                    if k.startswith("part_sum/"):
+                        metrics[f"{prefix}/{k[len('part_sum/'):]}"] = v / sums["count"]
             if fid is not None:
                 # Multi-host: each process accumulated stats over its own
                 # sample shard; sum them before the distance (the additive-

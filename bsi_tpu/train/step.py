@@ -118,15 +118,23 @@ def make_eval_step(
     def eval_step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray, rng: jax.Array):
         params = state.ema_params if use_ema else state.params
         model_fn = lambda mu, t: model_apply(params, mu, t, None)
-        elbo, bpd, _ = algorithm.elbo(
+        elbo, bpd, extra = algorithm.elbo(
             model_fn, rng, batch, n_recon_samples, n_measure_samples
         )
         m = mask.astype(elbo.dtype)
-        return {
+        out = {
             "elbo_sum": (elbo * m).sum(),
             "bpd_sum": (bpd * m).sum(),
             "count": m.sum(),
         }
+        # Per-part masked sums (l_recon, l_measure / l_diff / l_latent,
+        # l_prior): the reference logs each part's mean per eval stage
+        # (bsi/tasks/bsi.py:236-241); parts arrive as [n_samples, batch]
+        # MC draws (or [batch] for the closed-form prior term).
+        for name, part in extra.items():
+            per_example = part.mean(axis=0) if part.ndim > 1 else part
+            out[f"part_sum/{name}"] = (per_example * m).sum()
+        return out
 
     return eval_step
 

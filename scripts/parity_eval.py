@@ -1,0 +1,286 @@
+#!/usr/bin/env python
+"""Same-weights ELBO eval parity vs the EXECUTED torch reference.
+
+The driver's headline target is "CIFAR-10 bpd within 1e-3 of the torch
+reference". Training twice and comparing conflates trajectory noise with
+evaluation bias (that statistical evidence lives in PARITY_TRAIN.json); this
+script isolates the EVALUATION half, which is measurable exactly even in the
+zero-egress image:
+
+1. train the torch reference once per algorithm (imported from
+   /root/reference and executed, never copied) on synthetic 8-bit data,
+2. transfer its EMA weights into the JAX model (the converter mapping proven
+   by tests/test_weight_transfer.py),
+3. evaluate BOTH frameworks' ELBO on the identical val set at f64 with MC
+   sample counts large enough that the combined standard error of the mean
+   is < 3e-4,
+4. assert |bpd_jax - bpd_torch| < 1e-3 per algorithm (BSI, VDM, BFN).
+
+Reference oracles: bsi/bsi.py:152-215 (elbo), bsi/vdm.py:60-125,
+bsi/bfn.py:59-122. Writes PARITY_EVAL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+from _common import REPO_ROOT  # noqa: E402
+
+sys.path.insert(0, str(REPO_ROOT))
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # isolate MC noise from float error
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+DATA_SHAPE = (8,)
+POS_EMB = (32, 1000)
+HIDDEN, LAYERS = 128, 3
+
+BSI_HP = dict(lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=16, preconditioning="edm")
+VDM_HP = dict(snr_min=6.73794699909e-3, snr_max=597195.613793, k=16)
+BFN_HP = dict(sigma_1=1e-3, k=16, x_min=-1.0, x_max=1.0, t_min=1e-6)
+EMA_HP = dict(beta=0.9999, update_after_step=200, update_every=1, inv_gamma=1.0, power=2 / 3)
+OPT_HP = dict(lr=1e-3, betas=(0.9, 0.999), weight_decay=0.01)
+
+
+def make_data(n_train: int, n_val: int, seed: int = 13):
+    """Mixture-of-sinusoids vectors quantized to 8-bit bin centers."""
+    rng = np.random.default_rng(seed)
+
+    def make(n):
+        grid = np.linspace(0, 1, DATA_SHAPE[0])
+        freq = rng.uniform(0.5, 3.0, size=(n, 1))
+        phase = rng.uniform(0, 2 * np.pi, size=(n, 1))
+        amp = rng.uniform(0.3, 1.0, size=(n, 1))
+        base = amp * np.sin(2 * np.pi * freq * grid[None, :] + phase)
+        levels = np.round((base * 0.5 + 0.5) * 255)
+        return (levels / 255 * 2 - 1).astype(np.float64)
+
+    return make(n_train), make(n_val)
+
+
+# -------------------------------------------------------------- torch side
+
+
+def make_torch_algo(name: str, model, torch):
+    from bsi.bfn import BFN as RefBFN
+    from bsi.bsi import BSI as RefBSI, Discretization as RefDisc
+    from bsi.vdm import VDM as RefVDM
+
+    disc = RefDisc.image_8bit()
+    if name == "bsi":
+        return RefBSI(model, data_shape=DATA_SHAPE, discretization=disc, **BSI_HP)
+    if name == "vdm":
+        return RefVDM(model, data_shape=DATA_SHAPE, discretization=disc, **VDM_HP)
+    return RefBFN(model, data_shape=DATA_SHAPE, discretization=disc, **BFN_HP)
+
+
+def train_torch(name: str, train: np.ndarray, *, steps: int, batch: int, seed: int = 0):
+    """Train the reference once; return the trained torch EMA model."""
+    import torch
+
+    from bsi.models.mlp import DenoisingMLP as RefMLP
+    from bsi.models.pos_emb import NyquistPositionalEmbedding as RefEmb
+    from bsi.tasks.ema_pytorch import EMA as RefEMA
+
+    torch.manual_seed(seed)
+    model = RefMLP(
+        data_shape=DATA_SHAPE, pos_emb=RefEmb(*POS_EMB), hidden_width=HIDDEN,
+        layers=LAYERS, actfn="silu", zero_init=False,
+    )
+    algo = make_torch_algo(name, model, torch)
+    opt = torch.optim.AdamW(model.parameters(), lr=OPT_HP["lr"],
+                            betas=OPT_HP["betas"], weight_decay=OPT_HP["weight_decay"])
+    ema = RefEMA(model, include_online_model=False, **EMA_HP)
+    gen = torch.Generator().manual_seed(seed + 100)
+    stream = np.random.default_rng(seed + 7)
+
+    tf = torch.tensor(train, dtype=torch.float32)
+    for _ in range(steps):
+        b = tf[stream.integers(0, len(train), batch)]
+        loss = algo.train_loss(b, gen).mean()
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        ema.update()
+    return ema.ema_model
+
+
+def eval_torch(name: str, model_f32, val: np.ndarray, *, n_recon: int,
+               n_measure: int, eval_seeds: list[int], bs: int) -> list[float]:
+    """Mean val-set bpd per eval seed, at f64."""
+    import copy
+
+    import torch
+
+    model = copy.deepcopy(model_f32).double().eval()
+    algo = make_torch_algo(name, model, torch)
+    out = []
+    vt = torch.tensor(val, dtype=torch.double)
+    with torch.no_grad():
+        for s in eval_seeds:
+            g = torch.Generator().manual_seed(s)
+            bpds = []
+            for i in range(0, len(val), bs):
+                _, bpd, _ = algo.elbo(vt[i : i + bs], n_recon, n_measure, g)
+                bpds.append(bpd.numpy())
+            out.append(float(np.concatenate(bpds).mean()))
+    return out
+
+
+# ---------------------------------------------------------------- JAX side
+
+
+def torch_params_to_jax(model_t):
+    """Torch reference MLP weights -> our flax DenoisingMLP param tree
+    (the inverse of scripts/parity_train.py::jax_params_to_torch; layout
+    proven by tests/test_weight_transfer.py::test_mlp_forward_parity)."""
+    def linear(mod):
+        return {
+            "kernel": jnp.asarray(mod.weight.detach().numpy(), jnp.float64).T,
+            "bias": jnp.asarray(mod.bias.detach().numpy(), jnp.float64),
+        }
+
+    trunk = {f"Dense_{i}": linear(model_t.layers[2 * i]) for i in range(LAYERS)}
+    return {"params": {"trunk": trunk, "head": linear(model_t.layers[2 * LAYERS])}}
+
+
+def make_jax_algo(name: str):
+    from bsi_tpu.core import BFN, BSI, Discretization, VDM
+
+    disc = Discretization.image_8bit()
+    if name == "bsi":
+        return BSI(data_shape=DATA_SHAPE, discretization=disc, **BSI_HP)
+    if name == "vdm":
+        return VDM(data_shape=DATA_SHAPE, discretization=disc, **VDM_HP)
+    return BFN(data_shape=DATA_SHAPE, discretization=disc, **BFN_HP)
+
+
+def eval_jax(name: str, params, val: np.ndarray, *, n_recon: int,
+             n_measure: int, eval_seeds: list[int], bs: int) -> list[float]:
+    from bsi_tpu.models import DenoisingMLP
+    from bsi_tpu.nn import NyquistPositionalEmbedding
+
+    algo = make_jax_algo(name)
+    model = DenoisingMLP(
+        data_shape=DATA_SHAPE, pos_emb=NyquistPositionalEmbedding(*POS_EMB),
+        hidden_width=HIDDEN, layers=LAYERS, actfn="silu",
+    )
+    model_fn = lambda mu, t: model.apply(params, mu, t)
+    elbo = jax.jit(lambda rng, x: algo.elbo(model_fn, rng, x, n_recon, n_measure)[1])
+
+    vj = jnp.asarray(val, jnp.float64)
+    out = []
+    for s in eval_seeds:
+        rng = jax.random.key(s)
+        bpds = []
+        for i in range(0, len(val), bs):
+            rng, sub = jax.random.split(rng)
+            bpds.append(np.asarray(elbo(sub, vj[i : i + bs])))
+        out.append(float(np.concatenate(bpds).mean()))
+    return out
+
+
+# ------------------------------------------------------------------- main
+
+
+def run_algorithm(name: str, train: np.ndarray, val: np.ndarray, *, steps: int,
+                  batch: int, n_recon: int, n_measure: int, n_eval_seeds: int,
+                  bs: int) -> dict:
+    t0 = time.time()
+    ema_model = train_torch(name, train, steps=steps, batch=batch)
+    t_train = time.time() - t0
+    params = torch_params_to_jax(ema_model)
+    seeds = list(range(1, n_eval_seeds + 1))
+
+    t0 = time.time()
+    jax_bpds = eval_jax(name, params, val, n_recon=n_recon, n_measure=n_measure,
+                        eval_seeds=seeds, bs=bs)
+    t_jax = time.time() - t0
+    t0 = time.time()
+    torch_bpds = eval_torch(name, ema_model, val, n_recon=n_recon,
+                            n_measure=n_measure, eval_seeds=seeds, bs=bs)
+    t_torch = time.time() - t0
+
+    def mean_se(xs):
+        xs = np.asarray(xs)
+        se = float(xs.std(ddof=1) / np.sqrt(len(xs))) if len(xs) > 1 else float("nan")
+        return float(xs.mean()), se
+
+    jm, jse = mean_se(jax_bpds)
+    tm, tse = mean_se(torch_bpds)
+    combined_se = float(np.hypot(jse, tse))
+    gap = abs(jm - tm)
+    return {
+        "algorithm": name,
+        "train_steps": steps,
+        "n_recon": n_recon,
+        "n_measure": n_measure,
+        "n_eval_seeds": n_eval_seeds,
+        "jax_bpd": jm,
+        "jax_se": jse,
+        "torch_bpd": tm,
+        "torch_se": tse,
+        "bpd_gap": gap,
+        "combined_se": combined_se,
+        "pass_1e-3": bool(gap < 1e-3),
+        "se_below_3e-4": bool(combined_se < 3e-4),
+        "seconds": {"torch_train": t_train, "jax_eval": t_jax, "torch_eval": t_torch},
+    }
+
+
+def run(algos=("bsi", "vdm", "bfn"), *, steps=1500, batch=128, n_train=4096,
+        n_val=256, n_recon=16, n_measure=4096, n_eval_seeds=16, bs=32,
+        out: str | None = None) -> dict:
+    train, val = make_data(n_train, n_val)
+    results = [
+        run_algorithm(a, train, val, steps=steps, batch=batch, n_recon=n_recon,
+                      n_measure=n_measure, n_eval_seeds=n_eval_seeds, bs=bs)
+        for a in algos
+    ]
+    summary = {
+        "protocol": "same trained EMA weights evaluated by both frameworks at "
+                    "f64; gap = |mean bpd difference| over the identical val "
+                    "set; SE from independent eval seeds",
+        "results": results,
+        "all_pass_1e-3": all(r["pass_1e-3"] for r in results),
+        "max_gap": max(r["bpd_gap"] for r in results),
+        "max_combined_se": max(r["combined_se"] for r in results),
+    }
+    if out:
+        Path(out).write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+    for r in results:
+        print(
+            f"{r['algorithm']}: gap {r['bpd_gap']:.3e} (se {r['combined_se']:.1e}) "
+            f"-> {'PASS' if r['pass_1e-3'] else 'FAIL'}"
+        )
+    return summary
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--algos", nargs="+", default=["bsi", "vdm", "bfn"])
+    parser.add_argument("--steps", type=int, default=1500)
+    parser.add_argument("--n-val", type=int, default=256)
+    parser.add_argument("--n-recon", type=int, default=16)
+    parser.add_argument("--n-measure", type=int, default=4096)
+    parser.add_argument("--n-eval-seeds", type=int, default=16)
+    parser.add_argument("--bs", type=int, default=32)
+    parser.add_argument("-o", "--out", default=str(REPO_ROOT / "PARITY_EVAL.json"))
+    a = parser.parse_args()
+    run(tuple(a.algos), steps=a.steps, n_val=a.n_val, n_recon=a.n_recon,
+        n_measure=a.n_measure, n_eval_seeds=a.n_eval_seeds, bs=a.bs, out=a.out)

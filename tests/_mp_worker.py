@@ -1,9 +1,17 @@
 """Worker for the multi-process CPU integration test (test_multiprocess.py).
 
-Each spawned process joins a ``jax.distributed`` CPU cluster, feeds its host
-shard of a constant dataset (so batch-assembly order cannot influence the
-loss), trains a few steps through the full Trainer, and writes its final
-metrics as JSON. Run with nproc=1 for the single-process ground truth.
+Each spawned process joins a ``jax.distributed`` CPU cluster THROUGH THE
+PRODUCTION ENTRY PATH — env vars + ``initialize_distributed()`` (the route a
+real TPU pod takes via train.py) — before any other JAX API call. It then
+runs two phases:
+
+1. exactness: feeds its host shard of a constant dataset (so batch-assembly
+   order cannot influence the loss), trains a few steps through the full
+   Trainer, and writes its final metrics as JSON. Run with nproc=1 for the
+   single-process ground truth.
+2. run_one: drives ``train.py``'s ``run_one`` end-to-end (config ->
+   data/task/Trainer -> fit -> checkpoint), then resumes it ``from_ckpt``,
+   recording the run dir so the test can assert all hosts agreed on it.
 
 Usage: _mp_worker.py <coordinator> <process_id> <num_processes> <out_json>
 """
@@ -15,10 +23,8 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo_root)
 
 
 def main() -> None:
@@ -28,15 +34,27 @@ def main() -> None:
         int(sys.argv[3]),
         sys.argv[4],
     )
+    # Production multi-host contract: the decision to initialize is taken
+    # from env vars alone, and jax.distributed.initialize runs before any
+    # backend-instantiating JAX API (parallel/distributed.py). Config
+    # updates below are pure settings — backends initialize lazily — and are
+    # needed because this image's sitecustomize pre-imports jax pinned to
+    # the TPU tunnel, so the env vars alone cannot switch it to CPU.
     if nproc > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator, num_processes=nproc, process_id=pid
-        )
+        os.environ["JAX_COORDINATOR_ADDRESS"] = coordinator
+        os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+        os.environ["JAX_PROCESS_ID"] = str(pid)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from bsi_tpu.parallel.distributed import host_shard, initialize_distributed
+
+    initialize_distributed()
     assert jax.process_count() == nproc
     assert len(jax.devices()) == 2 * nproc
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, repo_root)
 
     import numpy as np
 
@@ -45,7 +63,6 @@ def main() -> None:
     from bsi_tpu.models import DenoisingMLP
     from bsi_tpu.nn import NyquistPositionalEmbedding
     from bsi_tpu.parallel import make_mesh
-    from bsi_tpu.parallel.distributed import host_shard
     from bsi_tpu.train import EMAConfig, Trainer, make_optimizer
 
     shape = (4, 4, 3)
@@ -116,6 +133,46 @@ def main() -> None:
             for leaf in jax.tree.leaves(trainer.state.params)
         )
     )
+
+    # ---- phase 2: train.py run_one end-to-end under the live cluster ----
+    from bsi_tpu.config import ConfigLoader
+    import train as train_cli
+
+    root = os.path.join(os.path.dirname(out_json), "run_one_root")
+    overrides = [
+        "task=bsi",
+        "data=synthetic",
+        "data.n_train=32",
+        "data.n_val=8",
+        "data.batch_size=8",
+        "task.model=mlp",
+        "task.model.hidden_width=16",
+        "task.algorithm.k=3",
+        "task.ema.update_after_step=1",
+        "trainer.max_steps=3",
+        "trainer.val_check_interval=2",
+        "trainer.log_every_n_steps=1",
+        "trainer.num_sanity_val_steps=0",
+        "trainer.plots=no",
+        "trainer.fid=no",
+        "seed=7",
+        f"run_root={root}",
+    ]
+    loader = ConfigLoader(os.path.join(repo_root, "configs"))
+    config = loader.load("train", overrides)
+    config.pop("sweep", None)
+    run_one_metrics = train_cli.run_one(config)
+    run_dirs = [str(p) for p in __import__("pathlib").Path(root).rglob("ckpt_last")]
+    assert len(run_dirs) == 1, run_dirs
+    run_one_dir = os.path.dirname(run_dirs[0])
+
+    # resume the finished run from its checkpoint through the same path
+    config2 = loader.load(
+        "train", overrides + [f"from_ckpt={run_dirs[0]}", "trainer.max_steps=5"]
+    )
+    config2.pop("sweep", None)
+    resumed_metrics = train_cli.run_one(config2)
+
     result = {
         "process_id": pid,
         "num_processes": nproc,
@@ -125,6 +182,9 @@ def main() -> None:
         "val_fid": metrics["val/fid-4"],
         "val_count_ok": True,
         "param_sum": param_sum,
+        "run_one_dir": run_one_dir,
+        "run_one_val_bpd": run_one_metrics.get("val/bpd"),
+        "resumed_val_bpd": resumed_metrics.get("val/bpd"),
     }
     with open(out_json, "w") as f:
         json.dump(result, f)

@@ -75,3 +75,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     # must reproduce the single-process value (same global samples)
     npt.assert_allclose(double[0]["val_fid"], double[1]["val_fid"], rtol=1e-10)
     npt.assert_allclose(double[0]["val_fid"], single["val_fid"], rtol=1e-6)
+
+    # run_one (the production train.py path, entered via env-driven
+    # initialize_distributed) ran end-to-end on the live cluster: both hosts
+    # derived the SAME run dir (broadcast stamp), produced identical
+    # replicated metrics, and resumed from the checkpoint
+    assert double[0]["run_one_dir"] == double[1]["run_one_dir"]
+    npt.assert_allclose(double[0]["run_one_val_bpd"], double[1]["run_one_val_bpd"], rtol=1e-12)
+    for w in (single, *double):
+        assert np.isfinite(w["run_one_val_bpd"])
+        assert np.isfinite(w["resumed_val_bpd"])

@@ -95,9 +95,10 @@ def make_trainer(tmp_path, mesh=None, **kwargs):
     data = SyntheticDataModule(
         n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=16, train_eval_size=16
     )
-    opt = make_optimizer(warmup_schedule(1e-3, 5), betas=(0.9, 0.99), weight_decay=1e-4)
+    schedule = warmup_schedule(1e-3, 5)
+    opt = make_optimizer(schedule, betas=(0.9, 0.99), weight_decay=1e-4)
     defaults = dict(
-        algorithm=algo, model=model, optimizer=opt, data=data,
+        algorithm=algo, model=model, optimizer=opt, data=data, lr_schedule=schedule,
         ema=EMAConfig(update_after_step=2),
         max_steps=12, val_check_interval=6, log_every=4,
         run_dir=tmp_path / "run", config={"seed": 0, "note": "test"}, seed=0,
@@ -112,7 +113,13 @@ def test_trainer_end_to_end(tmp_path):
     metrics = trainer.fit()
     assert "train/loss" in metrics and math.isfinite(metrics["train/loss"])
     assert "val/bpd" in metrics and math.isfinite(metrics["val/bpd"])
-    assert "val_on_train/bpd" in metrics
+    # train-subset eval logs under the plain "train" prefix like the
+    # reference (bsi/tasks/bsi.py:205-211), alongside elbo loss parts
+    assert "train/bpd" in metrics
+    assert "val/l_recon" in metrics and math.isfinite(metrics["val/l_recon"])
+    assert "val/l_measure" in metrics
+    assert "best/bpd" in metrics and metrics["best/bpd"] <= metrics["val/bpd"] + 1e-9
+    assert "train/lr" in metrics and metrics["train/lr"] > 0
     assert (tmp_path / "run" / "metrics.jsonl").exists()
     assert (tmp_path / "run" / "ckpt_last" / "meta.json").exists()
     assert int(trainer.state.step) == 12

@@ -45,7 +45,16 @@ def run_one(config: dict) -> dict:
 
     title = config.get("title") or "run"
     name = config.get("name") or config["task"].get("name", "task")
-    stamp = time.strftime("%Y%m%d-%H%M%S")
+    # All hosts must agree on the run dir (checkpoints of globally-sharded
+    # state are written under it): broadcast rank 0's wall-clock stamp
+    # instead of stamping per process, where hosts crossing a second
+    # boundary would diverge.
+    stamp_int = int(time.time())
+    if num_shards > 1:
+        from jax.experimental import multihost_utils
+
+        stamp_int = int(multihost_utils.broadcast_one_to_all(jax.numpy.int64(stamp_int)))
+    stamp = time.strftime("%Y%m%d-%H%M%S", time.localtime(stamp_int))
     run_dir = Path(config.get("run_root", "runs")) / str(title) / f"{name}-{seed % 10**6}-{stamp}"
 
     # Requeue: reuse the W&B run recorded in the checkpoint we resume from
@@ -136,9 +145,13 @@ def main(argv: list[str] | None = None) -> int:
 
             traceback.print_exc()
             raise
-    best = results[-1].get("val/bpd") if results else None
-    if best is not None:
-        print(f"final val/bpd: {best:.4f}")
+    # Report the best checkpoint's monitored score — per run and across the
+    # sweep — matching the reference's sweep objective
+    # (/root/reference/train.py:226-227 returns the best-ckpt score)
+    scores = [r.get("best/bpd", r.get("val/bpd")) for r in results]
+    scores = [s for s in scores if s is not None]
+    if scores:
+        print(f"best val/bpd: {min(scores):.4f}")
     return 0
 
 
