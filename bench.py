@@ -1,19 +1,27 @@
-"""Headline benchmark: BSI sampling throughput on the flagship CIFAR-10 model.
+"""Headline benchmark: BSI sampling throughput on the flagship models.
 
-Measures samples/sec/chip at k=128 sampling steps with the CIFAR-10 VDM-UNet
-(dim 128 x 32 levels, the reference's cifar10-vdm recipe) in bf16 compute —
-the sampler is the hot loop of FID evaluation and serving (SURVEY.md §6).
+Measures samples/sec/chip at k=128 sampling steps in bf16 compute for BOTH
+serving-critical model families (the sampler is the hot loop of FID
+evaluation and serving, SURVEY.md §6):
+
+- CIFAR-10 VDM-UNet (dim 128 x 32 levels, the reference's cifar10-vdm
+  recipe) — the headline number;
+- DiT-L/2 at 32x32 (patch 2, dim 1024, depth 24, heads 16 — the reference's
+  imagenet32 recipe, config/experiment/imagenet32.yaml:24-46) — reported in
+  the same JSON line under "dit".
 
 Baseline: no numbers are published in the reference repo (BASELINE.md). The
-comparison constant below is an analytic estimate of the torch reference on
-one A100: ~45 GFLOP/forward x 128 steps ~ 5.8 TFLOP/sample at f32/TF32
-(~60 TFLOP/s effective) ~ 8 samples/sec. The driver-set target is >= 2x that
-per chip.
+comparison constants below are analytic estimates of the torch reference on
+one A100: UNet ~45 GFLOP/forward and DiT-L/2 ~161 GFLOP/forward x 128 steps
+at TF32 (~60 TFLOP/s effective) ~ 8 and ~2.9 samples/sec respectively. The
+driver-set target is >= 2x per chip.
 
 The JSON line also carries "mfu" and "tflops_per_sec", computed from the
 compiled XLA program's own FLOP count (cost analysis) against the chip's
 peak — so the throughput number is self-validating: an inflated
-samples/sec would imply an impossible MFU.
+samples/sec would imply an impossible MFU. The FLOP base counts the model
+forward only ("flops_model": "forward-only"): per-step sampler arithmetic
+is excluded, so the reported MFU is a slight conservative underestimate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -26,7 +34,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_BASELINE_SAMPLES_PER_SEC = 8.0
+# Analytic A100 estimates for the torch reference (see module docstring)
+A100_BASELINE_UNET = 8.0
+A100_BASELINE_DIT = 2.9
 K_STEPS = 128
 BATCH = 64
 
@@ -67,21 +77,50 @@ def _compiled_flops(jitted, *args) -> float | None:
         return None
 
 
+def bench_sampling(model, algo, *, batch: int, n_iters: int = 3) -> dict:
+    """Time `algo.sample` end-to-end (host fetch forces true completion) and
+    self-validate with XLA-counted forward FLOPs x (k+1) model calls."""
+    import numpy as np
+
+    data_shape = algo.data_shape
+    mu = jnp.zeros((batch,) + tuple(data_shape), jnp.float32)
+    t = jnp.zeros((batch,), jnp.float32)
+    params = model.init(jax.random.key(0), mu, t)
+
+    model_fn = lambda m, tt: model.apply(params, m, tt)
+    sample = jax.jit(lambda rng: algo.sample(model_fn, rng, batch))
+
+    np.asarray(sample(jax.random.key(1)))  # warmup / compile
+
+    start = time.perf_counter()
+    for i in range(n_iters):
+        np.asarray(sample(jax.random.key(2 + i)))
+    elapsed = time.perf_counter() - start
+    samples_per_sec = n_iters * batch / elapsed
+
+    record = {"value": round(samples_per_sec, 3), "unit": "samples/sec/chip"}
+    # XLA's cost analysis counts the sampling scan's body once, so count one
+    # (loop-free) preconditioned forward and scale by the k+1 model calls a
+    # sample makes (k scan steps + the final decode).
+    fwd = jax.jit(lambda mu, t: algo._predict_x(model_fn, mu, t))
+    fwd_flops = _compiled_flops(fwd, mu, t)
+    peak = _peak_flops()
+    if fwd_flops is not None:
+        flops_per_call = fwd_flops * (algo.k + 1)
+        tflops = flops_per_call * n_iters / elapsed / 1e12
+        record["tflops_per_sec"] = round(tflops, 1)
+        record["flops_model"] = "forward-only"
+        if peak is not None:
+            record["mfu"] = round(tflops * 1e12 / peak, 3)
+    return record
+
+
 def main() -> None:
     from bsi_tpu.core import BSI
-    from bsi_tpu.models import DenoisingVDMUNet
+    from bsi_tpu.models import DenoisingDiT, DenoisingVDMUNet
     from bsi_tpu.nn import FourierFeatures, NyquistPositionalEmbedding
 
     data_shape = (32, 32, 3)
-    model = DenoisingVDMUNet(
-        data_shape=data_shape,
-        pos_emb=NyquistPositionalEmbedding(32, 100),
-        dim=128,
-        levels=32,
-        pos_emb_mult=4,
-        fourier_features=FourierFeatures(n_min=6, n_max=8),
-        dtype=jnp.bfloat16,
-    )
     algo = BSI(
         data_shape=data_shape,
         lambda_0=1e-2,
@@ -91,44 +130,39 @@ def main() -> None:
         preconditioning="edm",
     )
 
-    mu = jnp.zeros((BATCH,) + data_shape, jnp.float32)
-    t = jnp.zeros((BATCH,), jnp.float32)
-    params = model.init(jax.random.key(0), mu, t)
+    unet = DenoisingVDMUNet(
+        data_shape=data_shape,
+        pos_emb=NyquistPositionalEmbedding(32, 100),
+        dim=128,
+        levels=32,
+        pos_emb_mult=4,
+        fourier_features=FourierFeatures(n_min=6, n_max=8),
+        dtype=jnp.bfloat16,
+    )
+    unet_rec = bench_sampling(unet, algo, batch=BATCH)
 
-    model_fn = lambda m, tt: model.apply(params, m, tt)
-    sample = jax.jit(lambda rng: algo.sample(model_fn, rng, BATCH))
-
-    import numpy as np
-
-    # Warmup / compile (host fetch forces true completion through the runtime)
-    np.asarray(sample(jax.random.key(1)))
-
-    n_iters = 3
-    start = time.perf_counter()
-    for i in range(n_iters):
-        np.asarray(sample(jax.random.key(2 + i)))
-    elapsed = time.perf_counter() - start
-
-    samples_per_sec = n_iters * BATCH / elapsed
+    # DiT-L/2, the ImageNet32 serving shape (imagenet32.yaml:24-46)
+    dit = DenoisingDiT(
+        data_shape=data_shape,
+        patch_size=2,
+        dim=1024,
+        depth=24,
+        heads=16,
+        fourier_features=FourierFeatures(n_min=6, n_max=8),
+        dtype=jnp.bfloat16,
+    )
+    dit_rec = bench_sampling(dit, algo, batch=BATCH)
 
     record = {
         "metric": f"bsi-cifar10-unet sampling throughput (k={K_STEPS}, bf16, batch {BATCH})",
-        "value": round(samples_per_sec, 3),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        **unet_rec,
+        "vs_baseline": round(unet_rec["value"] / A100_BASELINE_UNET, 3),
+        "dit": {
+            "metric": f"bsi-dit-L/2-32x32 sampling throughput (k={K_STEPS}, bf16, batch {BATCH})",
+            **dit_rec,
+            "vs_baseline": round(dit_rec["value"] / A100_BASELINE_DIT, 3),
+        },
     }
-    # XLA's cost analysis counts the sampling scan's body once, so count one
-    # (loop-free) preconditioned forward and scale by the k+1 model calls a
-    # sample makes (k scan steps + the final decode).
-    fwd = jax.jit(lambda mu, t: algo._predict_x(model_fn, mu, t))
-    fwd_flops = _compiled_flops(fwd, mu, t)
-    peak = _peak_flops()
-    if fwd_flops is not None:
-        flops_per_call = fwd_flops * (K_STEPS + 1)
-        tflops = flops_per_call * n_iters / elapsed / 1e12
-        record["tflops_per_sec"] = round(tflops, 1)
-        if peak is not None:
-            record["mfu"] = round(tflops * 1e12 / peak, 3)
     print(json.dumps(record))
 
 

@@ -1,4 +1,4 @@
-from .attention import Attention2D, TokenAttention
+from .attention import Attention2D, TokenAttention, repack_qkv_head_major
 from .blocks import ResidualBlock, SimplifiedUNet, feature_modulation
 from .fourier import FourierFeatures
 from .mlp import MLP

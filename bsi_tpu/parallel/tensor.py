@@ -6,17 +6,20 @@ in column/row pairs so each pair costs ONE all-reduce of the pair's output —
 XLA GSPMD inserts the collectives from the parameter shardings alone, no
 model-code changes:
 
-- attention: ``to_out`` row-parallel (partial products + one all-reduce).
-  ``to_qkv`` stays REPLICATED: its output packs ``[q|k|v]`` along one dim,
-  so a plain column sharding puts the ``jnp.split`` boundaries inside
-  shards and GSPMD would reshard the qkv activation in every layer —
-  head-aligned qkv sharding needs head-major weight packing, which would
-  break checkpoint/weight-transfer compatibility with the reference layout
-  (bsi/models/dit.py:26-47). Row-parallel ``to_out`` consumes its
-  replicated input with a local slice (no communication), so the attention
-  block still costs exactly one all-reduce.
-- MLP stacks: alternating column/row by layer index (``Dense_0`` column,
-  ``Dense_1`` row, ...) — the Megatron pair, one all-reduce per MLP.
+- attention: the full Megatron pair — ``to_qkv`` column-parallel,
+  ``to_out`` row-parallel (partial products + ONE all-reduce per block).
+  ``to_qkv``'s output axis is packed HEAD-MAJOR ``(h qkv c)`` (see
+  :func:`bsi_tpu.nn.attention._split_qkv_head_major`; the torch reference's
+  ``(qkv h c)`` layout is repacked by the weight-transfer converters), so a
+  plain column sharding is head-aligned and GSPMD keeps the per-head q/k/v
+  slices local — no activation reshard at the split. Head alignment holds
+  when the model-axis size divides ``heads`` (true for all DiT recipes:
+  16 heads vs model axes of 2-8); otherwise GSPMD still computes the same
+  result with an extra reshard.
+- MLP pairs inside transformer blocks (path ``*/mlp/Dense_{even,odd}``):
+  alternating column/row — one all-reduce per MLP. Scoped to ``mlp/`` so a
+  lone unpaired Dense elsewhere in the tree is never column-sharded into a
+  silent per-step activity reshard.
 - adaLN conditioning: ``ada_in`` column-parallel, ``ada_out`` row-parallel
   (``ada_out``'s packed 6-way split happens on its REPLICATED output, after
   the pair's all-reduce, so no boundary issue).
@@ -41,12 +44,13 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 # INPUT dim (second-to-last — also correct for NHWC conv kernels [kh,kw,in,out])
 _COL_RULES = (
     r"(^|/)ada_in/kernel$",
-    r"(^|/)Dense_(\d*[02468])/kernel$",
+    r"(^|/)to_qkv/kernel$",
+    r"(^|/)mlp/Dense_(\d*[02468])/kernel$",
 )
 _ROW_RULES = (
     r"(^|/)to_out/kernel$",
     r"(^|/)ada_out/kernel$",
-    r"(^|/)Dense_(\d*[13579])/kernel$",
+    r"(^|/)mlp/Dense_(\d*[13579])/kernel$",
 )
 _COL = tuple(re.compile(p) for p in _COL_RULES)
 _ROW = tuple(re.compile(p) for p in _ROW_RULES)

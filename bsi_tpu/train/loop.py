@@ -418,10 +418,40 @@ class Trainer:
                 out_shardings=self._shard,
             )
         nproc = jax.process_count()
+        # Hard data-module contract (bsi_tpu/data/base.py::eval_batches):
+        # every host yields fixed-size eval batches of global_eval/nproc rows
+        # in lockstep, so global = local x nproc. A custom data module that
+        # violates it would desynchronize the jitted global batch shape
+        # across processes — fail here with a clear error instead.
+        global_eval = getattr(self.data, "eval_batch_size", None)
+        if global_eval is not None and n_local * nproc != int(global_eval):
+            raise RuntimeError(
+                f"eval batch contract violated: host yielded {n_local} rows but "
+                f"eval_batch_size={global_eval} over {nproc} processes requires "
+                f"{int(global_eval) // nproc} equal rows per host"
+            )
         samples01 = self._fid_sample(self.state, rng, n_local * nproc)
         if nproc == 1:
             fid.update(images_to_uint8(np.asarray(samples01)[mask]))
             return
+        # The per-host shard dedup below assumes a model-axis replica group
+        # never spans processes — otherwise two hosts would hold identical
+        # batch ranges and double-count them. All standard meshes (model on
+        # the fastest axis, ICI-local) satisfy this; fail loudly if not.
+        if self.mesh.shape.get("model", 1) > 1:
+            axes = list(self.mesh.axis_names)
+            dev = np.asarray(self.mesh.devices)
+            model_groups = np.moveaxis(dev, axes.index("model"), -1).reshape(
+                -1, self.mesh.shape["model"]
+            )
+            for group in model_groups:
+                procs = {d.process_index for d in group}
+                if len(procs) > 1:
+                    raise RuntimeError(
+                        "validation-time FID requires model-axis replica groups "
+                        f"local to one process; got group spanning processes {procs}. "
+                        "Order the mesh so the model axis is innermost per host."
+                    )
         # addressable_shards has one entry per local DEVICE; with a model
         # axis the batch shards are replicated across it, so dedup by the
         # shard's batch range or replicated rows would be double-counted

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""End-to-end training parity vs the EXECUTED torch reference.
+"""End-to-end training parity vs the EXECUTED torch reference (BSI/VDM/BFN).
 
 The zero-egress image has no real datasets, so the driver's "bpd within
 1e-3" target cannot be measured on CIFAR yet. This script produces the
@@ -7,16 +7,20 @@ substitute evidence: it trains the torch reference (imported from
 /root/reference and executed, never copied) and this framework on IDENTICAL
 synthetic 8-bit data with an IDENTICAL recipe — same initial weights
 (transferred), same batch sequence (same index-stream seed), same
-BSI hyperparameters, AdamW, constant LR, grad-clip 1.0, and EMA schedule —
-then compares final validation bpd of the EMA model.
+algorithm hyperparameters, AdamW, constant LR, grad-clip 1.0, and EMA
+schedule — then compares final validation bpd of the EMA model.
+``--algo`` selects the algorithm; all three share the task machinery, so
+this covers the integration (EMA cadence, loss scaling, eval wiring) that
+the exact core-formula tests cannot.
 
-Reference oracle: bsi/bsi.py:152-310 (elbo/train_loss), bsi/tasks/bsi.py:187-252
-(training/eval semantics), bsi/tasks/ema_pytorch.py (EMA).
+Reference oracles: bsi/bsi.py:152-310, bsi/vdm.py:60-262, bsi/bfn.py:59-219
+(elbo/train_loss), bsi/tasks/{bsi,vdm,bfn}.py (training/eval semantics),
+bsi/tasks/ema_pytorch.py (EMA).
 
 Only RNG streams differ (torch generator vs JAX threefry), so agreement is
 statistical: the script reports the torch seed-to-seed spread and the eval
-estimator noise alongside the cross-framework gap. Writes PARITY_TRAIN.json.
-"""
+estimator noise alongside the cross-framework gap. Writes PARITY_TRAIN.json
+(one entry per algorithm)."""
 
 from __future__ import annotations
 
@@ -40,7 +44,11 @@ jax.config.update("jax_platforms", "cpu")  # torch is CPU; keep it symmetric
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-HP = dict(lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=16, preconditioning="edm")
+HP = {
+    "bsi": dict(lambda_0=1e-2, alpha_M=1e6, alpha_R=2e6, k=16, preconditioning="edm"),
+    "vdm": dict(snr_min=6.73794699909e-3, snr_max=597195.613793, k=16),
+    "bfn": dict(sigma_1=1e-3, k=16, x_min=-1.0, x_max=1.0, t_min=1e-6),
+}
 EMA_HP = dict(beta=0.9999, update_after_step=200, update_every=1, inv_gamma=1.0, power=2 / 3)
 OPT_HP = dict(lr=1e-3, betas=(0.9, 0.999), weight_decay=0.01)
 DATA_SHAPE = (8,)
@@ -75,13 +83,30 @@ def batch_stream(train: np.ndarray, batch: int, steps: int, seed: int):
 # ---------------------------------------------------------------- JAX side
 
 
-def train_jax(batches, val, *, hidden: int, layers: int, seed: int = 0):
-    from bsi_tpu.core import BSI, Discretization
+def make_jax_algo(name: str):
+    from bsi_tpu.core import BFN, BSI, Discretization, VDM
+
+    disc = Discretization.image_8bit()
+    cls = {"bsi": BSI, "vdm": VDM, "bfn": BFN}[name]
+    return cls(data_shape=DATA_SHAPE, discretization=disc, **HP[name])
+
+
+def make_torch_algo(name: str, model):
+    from bsi.bfn import BFN as RefBFN
+    from bsi.bsi import BSI as RefBSI, Discretization as RefDisc
+    from bsi.vdm import VDM as RefVDM
+
+    disc = RefDisc.image_8bit()
+    cls = {"bsi": RefBSI, "vdm": RefVDM, "bfn": RefBFN}[name]
+    return cls(model, data_shape=DATA_SHAPE, discretization=disc, **HP[name])
+
+
+def train_jax(algo_name, batches, val, *, hidden: int, layers: int, seed: int = 0):
     from bsi_tpu.models import DenoisingMLP
     from bsi_tpu.nn import NyquistPositionalEmbedding
     from bsi_tpu.train import EMAConfig, TrainState, make_optimizer, make_train_step
 
-    algo = BSI(data_shape=DATA_SHAPE, discretization=Discretization.image_8bit(), **HP)
+    algo = make_jax_algo(algo_name)
     model = DenoisingMLP(
         data_shape=DATA_SHAPE, pos_emb=NyquistPositionalEmbedding(*POS_EMB),
         hidden_width=hidden, layers=layers,
@@ -132,10 +157,10 @@ def jax_params_to_torch(params, ref_model, torch, layers: int):
         head.bias.copy_(torch.tensor(np.asarray(p["head"]["bias"])))
 
 
-def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int = 0):
+def train_torch(algo_name, batches, val, jax_params, *, hidden: int, layers: int,
+                seed: int = 0):
     import torch
 
-    from bsi.bsi import BSI as RefBSI, Discretization as RefDisc
     from bsi.models.mlp import DenoisingMLP as RefMLP
     from bsi.models.pos_emb import NyquistPositionalEmbedding as RefEmb
     from bsi.tasks.ema_pytorch import EMA as RefEMA
@@ -146,8 +171,7 @@ def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int
         layers=layers, actfn="silu", zero_init=False,
     )
     jax_params_to_torch(jax_params, model, torch, layers)
-    disc = RefDisc.image_8bit()
-    bsi = RefBSI(model, data_shape=DATA_SHAPE, discretization=disc, **HP)
+    algo = make_torch_algo(algo_name, model)
     opt = torch.optim.AdamW(model.parameters(), lr=OPT_HP["lr"],
                             betas=OPT_HP["betas"], weight_decay=OPT_HP["weight_decay"])
     ema = RefEMA(model, include_online_model=False, **EMA_HP)
@@ -155,7 +179,7 @@ def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int
 
     losses = []
     for b in batches:
-        loss = bsi.train_loss(torch.tensor(b), gen).mean()
+        loss = algo.train_loss(torch.tensor(b), gen).mean()
         opt.zero_grad()
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
@@ -163,15 +187,15 @@ def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int
         ema.update()
         losses.append(float(loss))
 
-    ema_bsi = RefBSI(ema.ema_model, data_shape=DATA_SHAPE, discretization=disc, **HP)
+    ema_algo = make_torch_algo(algo_name, ema.ema_model)
 
     def eval_bpd(eval_seed: int, n_recon=4, n_measure=32, bs=256):
         g = torch.Generator().manual_seed(eval_seed)
         bpds = []
         with torch.no_grad():
             for i in range(0, len(val), bs):
-                _, bpd, _ = ema_bsi.elbo(torch.tensor(val[i : i + bs]), n_recon,
-                                         n_measure, g)
+                _, bpd, _ = ema_algo.elbo(torch.tensor(val[i : i + bs]), n_recon,
+                                          n_measure, g)
                 bpds.append(bpd.numpy())
         return float(np.concatenate(bpds).mean())
 
@@ -181,8 +205,8 @@ def train_torch(batches, val, jax_params, *, hidden: int, layers: int, seed: int
 # ------------------------------------------------------------------- main
 
 
-def run(steps: int = 3000, batch: int = 128, hidden: int = 128, layers: int = 3,
-        out: str | None = None, n_seeds: int = 1) -> dict:
+def run_algo(algo_name: str, steps: int = 3000, batch: int = 128, hidden: int = 128,
+             layers: int = 3, n_seeds: int = 1) -> dict:
     """Train both frameworks with ``n_seeds`` training seeds each and compare
     the across-seed mean EMA-model validation bpd. Each run's bpd is itself
     averaged over 3 eval seeds to suppress ELBO estimator noise."""
@@ -195,14 +219,14 @@ def run(steps: int = 3000, batch: int = 128, hidden: int = 128, layers: int = 3,
     for seed in range(n_seeds):
         t0 = time.time()
         jax_params, jax_losses, jax_eval = train_jax(
-            batches, val, hidden=hidden, layers=layers, seed=2 * seed
+            algo_name, batches, val, hidden=hidden, layers=layers, seed=2 * seed
         )
         t_jax += time.time() - t0
         jax_runs.append([jax_eval(s) for s in (1, 2, 3)])
 
         t0 = time.time()
-        torch_losses, torch_eval = train_torch(batches, val, jax_params, hidden=hidden,
-                                               layers=layers, seed=seed)
+        torch_losses, torch_eval = train_torch(algo_name, batches, val, jax_params,
+                                               hidden=hidden, layers=layers, seed=seed)
         t_torch += time.time() - t0
         torch_runs.append([torch_eval(s) for s in (1, 2, 3)])
 
@@ -210,9 +234,10 @@ def run(steps: int = 3000, batch: int = 128, hidden: int = 128, layers: int = 3,
     torch_by_seed = [float(np.mean(r)) for r in torch_runs]
 
     result = {
+        "algorithm": algo_name,
         "steps": steps, "batch": batch, "hidden": hidden, "layers": layers,
         "n_train_seeds": n_seeds,
-        "recipe": {"bsi": HP, "ema": EMA_HP, "opt": OPT_HP},
+        "recipe": {"algo": HP[algo_name], "ema": EMA_HP, "opt": OPT_HP},
         "jax": {
             "final_train_loss": float(np.mean(jax_losses[-50:])),
             "val_bpd_by_train_seed": jax_by_seed,
@@ -232,22 +257,35 @@ def run(steps: int = 3000, batch: int = 128, hidden: int = 128, layers: int = 3,
     result["eval_noise_sigma"] = float(
         max(np.std(jax_runs[0]), np.std(torch_runs[0]))
     )
-    if out:
-        Path(out).write_text(json.dumps(result, indent=2))
-    print(json.dumps(result, indent=2))
     gap, spread = result["bpd_gap"], result["torch_seed_spread"]
     print(
-        f"\nbpd gap jax-vs-torch (means over {n_seeds} train seeds): {gap:.5f}  "
-        f"(torch seed spread: {spread}, jax seed spread: {result['jax_seed_spread']}, "
-        f"eval sigma: {result['eval_noise_sigma']:.5f})"
+        f"\n[{algo_name}] bpd gap jax-vs-torch (means over {n_seeds} train seeds): "
+        f"{gap:.5f}  (torch seed spread: {spread}, jax seed spread: "
+        f"{result['jax_seed_spread']}, eval sigma: {result['eval_noise_sigma']:.5f})",
+        flush=True,
     )
     return result
+
+
+def run(algos=("bsi",), steps: int = 3000, batch: int = 128, hidden: int = 128,
+        layers: int = 3, out: str | None = None, n_seeds: int = 1) -> dict:
+    results = [
+        run_algo(a, steps=steps, batch=batch, hidden=hidden, layers=layers,
+                 n_seeds=n_seeds)
+        for a in algos
+    ]
+    summary = {"results": results, "max_gap": max(r["bpd_gap"] for r in results)}
+    if out:
+        Path(out).write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+    return summary
 
 
 if __name__ == "__main__":
     import argparse
 
     parser = argparse.ArgumentParser()
+    parser.add_argument("--algos", nargs="+", default=["bsi", "vdm", "bfn"])
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--hidden", type=int, default=128)
@@ -255,4 +293,4 @@ if __name__ == "__main__":
     parser.add_argument("--n-seeds", type=int, default=1)
     parser.add_argument("-o", "--out", default=str(REPO_ROOT / "PARITY_TRAIN.json"))
     a = parser.parse_args()
-    run(a.steps, a.batch, a.hidden, a.layers, a.out, n_seeds=a.n_seeds)
+    run(tuple(a.algos), a.steps, a.batch, a.hidden, a.layers, a.out, n_seeds=a.n_seeds)

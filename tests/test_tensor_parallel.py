@@ -62,8 +62,9 @@ def test_tp_matches_replicated(tmp_path):
     assert any("to_out/kernel" in p for p in paths), paths
     assert any("mlp/Dense_0/kernel" in p for p in paths), paths
     assert any("ada_out/kernel" in p for p in paths), paths
-    # ...to_qkv is deliberately replicated (packed [q|k|v] split boundaries)
-    assert not any("to_qkv" in p for p in paths), paths
+    # ...including to_qkv: head-major packing makes its column sharding
+    # head-aligned (bsi_tpu/nn/attention.py), completing the Megatron pair
+    assert any("to_qkv/kernel" in p for p in paths), paths
     # optimizer moments and EMA mirror the param shardings
     to_out_sharded = [p for p in paths if "to_out/kernel" in p]
     assert any("ema_params" in p for p in to_out_sharded), paths
@@ -89,6 +90,37 @@ def test_tp_composes_with_fsdp(tmp_path):
     assert has_both, "no leaf sharded over both model and data axes"
 
 
+def test_tp_validation_fid_matches_replicated(tmp_path):
+    """Validation-time FID through Trainer.validate with a model axis > 1:
+    the replica dedup in _update_fid must yield the same FID value as the
+    plain data-parallel mesh (same fixed eval RNG, same global samples)."""
+    from bsi_tpu.metrics.fid import FeatureStats, FIDScore
+
+    def stub_embed(images_uint8):
+        x = np.asarray(images_uint8, np.float64) / 255.0
+        return np.stack(
+            [x.mean(axis=(1, 2, 3)), x.std(axis=(1, 2, 3)),
+             x[:, 0].mean(axis=(1, 2)), x[:, -1].mean(axis=(1, 2))], axis=1
+        )
+
+    def run(mesh, sub):
+        real = FeatureStats(4)
+        real.update(stub_embed(np.random.default_rng(0).integers(0, 255, (32,) + DATA_SHAPE, np.uint8)))
+        t = make_trainer(tmp_path / sub, mesh)
+        t.fid_metrics = {"val": FIDScore(stub_embed, real)}
+        t.state = t.init_state()
+        return t.validate()
+
+    m_rep = run(make_mesh(8), "rep")
+    m_tp = run(make_mesh(8, model_parallelism=2), "tp")
+    key = "val/fid-4"
+    assert key in m_rep and key in m_tp
+    # TP collectives reorder float summation inside the sampler, so the
+    # sample pixels (and embeddings) differ at f32 rounding level; a dedup
+    # bug (double-counted/missing rows) would shift FID far beyond 2%.
+    npt.assert_allclose(m_rep[key], m_tp[key], rtol=2e-2)
+
+
 def test_tp_indivisible_dims_stay_replicated():
     from bsi_tpu.parallel.tensor import tp_leaf_spec
 
@@ -96,8 +128,11 @@ def test_tp_indivisible_dims_stay_replicated():
     assert tp_leaf_spec("block/mlp/Dense_0/kernel", (7, 9), 4) == [None, None]
     assert tp_leaf_spec("block/mlp/Dense_0/kernel", (8, 12), 4) == [None, MODEL_AXIS]
     assert tp_leaf_spec("block/attn/to_out/kernel", (8, 12), 4) == [MODEL_AXIS, None]
-    # packed-qkv projections stay replicated (split-boundary misalignment)
-    assert tp_leaf_spec("block/attn/to_qkv/kernel", (8, 24), 4) == [None, None]
+    # head-major-packed qkv projections shard column-parallel
+    assert tp_leaf_spec("block/attn/to_qkv/kernel", (8, 24), 4) == [None, MODEL_AXIS]
+    # a lone Dense outside an mlp/ pair is never column-sharded (it would
+    # force a per-step activation reshard with no row partner)
+    assert tp_leaf_spec("head/Dense_0/kernel", (8, 12), 4) == [None, None]
     # conv kernels shard the input-channel dim, never the spatial dims
     assert tp_leaf_spec("unet/attn/to_out/kernel", (3, 3, 8, 8), 4) == [
         None, None, MODEL_AXIS, None,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from bsi_tpu.models import DenoisingDiT, DenoisingMLP, DenoisingVDMUNet
-from bsi_tpu.nn import FourierFeatures, NyquistPositionalEmbedding
+from bsi_tpu.nn import FourierFeatures, NyquistPositionalEmbedding, repack_qkv_head_major
 
 
 def t2j(x):
@@ -35,6 +35,12 @@ def conv(mod):
 
 def groupnorm(mod):
     return {"scale": t2j(mod.weight), "bias": t2j(mod.bias)}
+
+
+def qkv(converted: dict, heads: int) -> dict:
+    """Repack a converted qkv projection from the reference's (qkv h c)
+    output layout to our head-major (h qkv c) layout (bsi_tpu/nn/attention)."""
+    return {k: repack_qkv_head_major(v, heads) for k, v in converted.items()}
 
 
 def make_double(build):
@@ -103,7 +109,7 @@ def test_dit_forward_parity():
         blocks[f"block_{i}"] = {
             "ada_in": linear(blk.adaLN_modulation[0]),
             "ada_out": linear(blk.adaLN_modulation[2]),
-            "attn": {"to_qkv": linear(blk.attn.to_qkv), "to_out": linear(blk.attn.to_out)},
+            "attn": {"to_qkv": qkv(linear(blk.attn.to_qkv), 2), "to_out": linear(blk.attn.to_out)},
             "mlp": {"Dense_0": linear(blk.mlp[0]), "Dense_1": linear(blk.mlp[2])},
         }
     params = {
@@ -140,14 +146,14 @@ def test_unet_forward_parity():
     ref = make_double(
         lambda: RefUNet(
             data_shape=(3, H, W), pos_emb=RefEmb(16, 100), actfn="silu", dim=32,
-            levels=levels, pos_emb_mult=4, n_attention_heads=1, dropout=None,
+            levels=levels, pos_emb_mult=4, n_attention_heads=2, dropout=None,
             downsampling_attention=False,
             fourier_features=RefFF(n_min=6, n_max=8),
         )
     )
     ours = DenoisingVDMUNet(
         data_shape=(H, W, 3), pos_emb=NyquistPositionalEmbedding(16, 100),
-        actfn="silu", dim=32, levels=levels, pos_emb_mult=4, n_attention_heads=1,
+        actfn="silu", dim=32, levels=levels, pos_emb_mult=4, n_attention_heads=2,
         fourier_features=FourierFeatures(n_min=6, n_max=8),
     )
 
@@ -170,7 +176,7 @@ def test_unet_forward_parity():
     attn_res = ref.u_net.center_block[1].fn
     unet["GroupNorm_0"] = groupnorm(attn_res[0])
     unet["Attention2D_0"] = {
-        "to_qkv": conv(attn_res[1].to_qkv),
+        "to_qkv": qkv(conv(attn_res[1].to_qkv), 2),
         "to_out": conv(attn_res[1].to_out),
     }
     unet["center_out"] = res_block(ref.u_net.center_block[2])
