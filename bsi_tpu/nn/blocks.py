@@ -22,6 +22,33 @@ def feature_modulation(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray) -
     return shift[:, None, None, :] + (scale[:, None, None, :] + 1.0) * x
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm followed by SiLU, fused into one HBM pass on TPU.
+
+    Parameter names ("scale"/"bias") and semantics match ``nn.GroupNorm``
+    exactly, so checkpoints and the torch weight-transfer mapping are
+    unchanged; off-TPU (or for unfriendly shapes) the op falls back to
+    plain XLA math (bsi_tpu/ops/groupnorm_silu.py).
+    """
+
+    num_groups: int = 32
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from bsi_tpu.ops import groupnorm_silu
+
+        c = x.shape[-1]
+        # param_dtype f32 like nn.GroupNorm, independent of compute dtype
+        gamma = self.param("scale", lambda k, s: jnp.ones(s, jnp.float32), (c,))
+        beta = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (c,))
+        dt = self.dtype or x.dtype
+        b = x.shape[0]
+        x3 = x.reshape(b, -1, c).astype(dt)
+        out = groupnorm_silu(x3, gamma.astype(dt), beta.astype(dt), self.num_groups)
+        return out.reshape(x.shape)
+
+
 class ResidualBlock(nn.Module):
     """Norm -> act -> conv3x3 -> FiLM(c) -> act -> dropout -> conv3x3 + skip.
 
@@ -45,8 +72,14 @@ class ResidualBlock(nn.Module):
         scale_shift = nn.Dense(2 * self.dim_out, dtype=self.dtype, name="to_scale_shift")(c)
         scale, shift = jnp.split(scale_shift, 2, axis=-1)
 
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
-        h = self.actfn(h)
+        if self.actfn is nn.silu:
+            # fused GroupNorm+SiLU (same params under the same module name)
+            h = GroupNormSiLU(
+                num_groups=self.groups, dtype=self.dtype, name="GroupNorm_0"
+            )(x)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+            h = self.actfn(h)
         h = nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         h = feature_modulation(h, scale, shift)
         h = self.actfn(h)

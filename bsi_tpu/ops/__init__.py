@@ -1,5 +1,11 @@
 from .attention import multi_head_attention
 from .flash_attention import flash_attention
+from .groupnorm_silu import groupnorm_silu
 from .ln_modulate import layernorm_modulate
 
-__all__ = ["multi_head_attention", "flash_attention", "layernorm_modulate"]
+__all__ = [
+    "multi_head_attention",
+    "flash_attention",
+    "groupnorm_silu",
+    "layernorm_modulate",
+]
