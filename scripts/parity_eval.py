@@ -125,17 +125,27 @@ def eval_torch(name: str, model_f32, val: np.ndarray, *, n_recon: int,
     import torch
 
     model = copy.deepcopy(model_f32).double().eval()
-    algo = make_torch_algo(name, model, torch)
-    out = []
-    vt = torch.tensor(val, dtype=torch.double)
-    with torch.no_grad():
-        for s in eval_seeds:
-            g = torch.Generator().manual_seed(s)
-            bpds = []
-            for i in range(0, len(val), bs):
-                _, bpd, _ = algo.elbo(vt[i : i + bs], n_recon, n_measure, g)
-                bpds.append(bpd.numpy())
-            out.append(float(np.concatenate(bpds).mean()))
+    # The reference draws its MC samples in the global default dtype and
+    # registers f32 hyperparameter buffers (vdm.py:42-47, bfn.py:39); its own
+    # test suite runs under set_default_dtype(double). Mirror that here:
+    # default dtype double for the eval, algo .double() to convert buffers
+    # (the model sits in a plain list outside the module tree — unaffected).
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.double)
+    try:
+        algo = make_torch_algo(name, model, torch).double()
+        out = []
+        vt = torch.tensor(val, dtype=torch.double)
+        with torch.no_grad():
+            for s in eval_seeds:
+                g = torch.Generator().manual_seed(s)
+                bpds = []
+                for i in range(0, len(val), bs):
+                    _, bpd, _ = algo.elbo(vt[i : i + bs], n_recon, n_measure, g)
+                    bpds.append(bpd.numpy())
+                out.append(float(np.concatenate(bpds).mean()))
+    finally:
+        torch.set_default_dtype(prev_dtype)
     return out
 
 
