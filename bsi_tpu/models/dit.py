@@ -15,6 +15,8 @@ Design choices for TPU:
 
 from __future__ import annotations
 
+import re
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -23,6 +25,8 @@ from jax.ad_checkpoint import checkpoint_name
 
 from bsi_tpu.nn import MLP, FourierFeatures, NyquistPositionalEmbedding, TokenAttention
 from bsi_tpu.ops import layernorm_modulate
+
+_BLOCK_RE = re.compile(r"^block_\d+$")
 
 
 def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
@@ -85,8 +89,39 @@ class DiTBlock(nn.Module):
         return x + gate_mlp[:, None, :] * mlp_out
 
 
+class _BlockScanBody(nn.Module):
+    """Scan body wrapping one DiTBlock: returns ``(carry, None)`` as
+    ``nn.scan`` requires. Parameters live under ``<scan>/block`` with a
+    leading ``depth`` axis — the stacked layout pipeline parallelism shards
+    over the ``pipe`` mesh axis (bsi_tpu/parallel/pipeline.py)."""
+
+    heads: int
+    mlp_ratio: int = 4
+    dropout: float | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, tokens, c, deterministic: bool = True):
+        tokens = DiTBlock(
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="block",
+        )(tokens, c, deterministic)
+        return tokens, None
+
+
 class DiT(nn.Module):
-    """Transformer over image patches with adaLN-Zero t-conditioning."""
+    """Transformer over image patches with adaLN-Zero t-conditioning.
+
+    ``scan_blocks=True`` stores the blocks as ONE stacked module (leaves
+    gain a leading ``depth`` axis, applied via ``nn.scan``) instead of
+    ``depth`` named submodules. Same math; required for pipeline
+    parallelism, where the leading axis shards over the ``pipe`` mesh axis.
+    Convert between the layouts with :func:`stack_block_params` /
+    :func:`unstack_block_params`.
+    """
 
     input_size: tuple[int, int]
     patch_size: int
@@ -97,6 +132,7 @@ class DiT(nn.Module):
     mlp_ratio: int = 4
     dropout: float | None = None
     remat: bool = False
+    scan_blocks: bool = False
     dtype: jnp.dtype | None = None
 
     def _pos_embedding(self) -> np.ndarray:
@@ -111,10 +147,57 @@ class DiT(nn.Module):
         cols = np.tile(pos_w, (ph, 1))  # [(ph pw), hidden/2]
         return np.concatenate([rows, cols], axis=1)
 
-    @nn.compact
-    def __call__(
-        self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True
-    ) -> jnp.ndarray:
+    def setup(self):
+        # Attribute names double as parameter-tree names, so the tree is
+        # identical to the previous @nn.compact layout.
+        self.patch_encoder = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.decoder_norm = nn.LayerNorm(dtype=self.dtype)
+        self.patch_decoder = nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels, dtype=self.dtype
+        )
+        # Rematerialization trades FLOPs for activation memory to fit DiT-L at
+        # large batch on one chip. The dots-saveable policy keeps matmul
+        # outputs and recomputes only the cheap elementwise tail — measured
+        # 49% faster than full recompute on v5e (123 vs 83 ex/s, DiT-L/2 b64)
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if self.scan_blocks:
+            body = (
+                nn.remat(_BlockScanBody, static_argnums=(3,), policy=policy)
+                if self.remat
+                else _BlockScanBody
+            )
+            self.blocks = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.depth,
+            )(
+                heads=self.heads,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        else:
+            block_cls = (
+                nn.remat(DiTBlock, static_argnums=(3,), policy=policy)
+                if self.remat
+                else DiTBlock
+            )
+            # list attribute -> names "block_0", "block_1", ...
+            self.block = [
+                block_cls(
+                    heads=self.heads,
+                    mlp_ratio=self.mlp_ratio,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                )
+                for _ in range(self.depth)
+            ]
+
+    def embed(self, x: jnp.ndarray, t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Patchify + encode + fixed positional embedding; t-conditioning
+        vector. Runs outside the pipeline (replicated over ``pipe``)."""
         b, h, w, c_in = x.shape
         p = self.patch_size
         ph, pw = h // p, w // p
@@ -123,40 +206,39 @@ class DiT(nn.Module):
         patches = x.reshape(b, ph, p, pw, p, c_in)
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph * pw, p * p * c_in)
 
-        tokens = nn.Dense(self.hidden_size, dtype=self.dtype, name="patch_encoder")(patches)
+        tokens = self.patch_encoder(patches)
         tokens = tokens + jnp.asarray(self._pos_embedding(), tokens.dtype)
-
         c = NyquistPositionalEmbedding(self.hidden_size, 1000)(t)
-        # Rematerialization trades FLOPs for activation memory to fit DiT-L at
-        # large batch on one chip. The dots-saveable policy keeps matmul
-        # outputs and recomputes only the cheap elementwise tail — measured
-        # 49% faster than full recompute on v5e (123 vs 83 ex/s, DiT-L/2 b64)
-        block_cls = (
-            nn.remat(
-                DiTBlock,
-                static_argnums=(3,),
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
-            if self.remat
-            else DiTBlock
-        )
-        for i in range(self.depth):
-            tokens = block_cls(
-                heads=self.heads,
-                mlp_ratio=self.mlp_ratio,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                name=f"block_{i}",
-            )(tokens, c, deterministic)
+        return tokens, c
 
-        tokens = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(tokens)
-        out = nn.Dense(p * p * self.out_channels, dtype=self.dtype, name="patch_decoder")(
-            tokens
-        )
+    def run_blocks(
+        self, tokens: jnp.ndarray, c: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        if self.scan_blocks:
+            tokens, _ = self.blocks(tokens, c, deterministic)
+            return tokens
+        for blk in self.block:
+            tokens = blk(tokens, c, deterministic)
+        return tokens
 
+    def decode(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """LayerNorm + linear decode + unpatchify."""
+        b = tokens.shape[0]
+        h, w = self.input_size
+        p = self.patch_size
+        ph, pw = h // p, w // p
+        tokens = self.decoder_norm(tokens)
+        out = self.patch_decoder(tokens)
         # Unpatchify: [B, (ph pw), (p p C)] -> [B, H, W, C]
         out = out.reshape(b, ph, pw, p, p, self.out_channels)
         return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.out_channels)
+
+    def __call__(
+        self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        tokens, c = self.embed(x, t)
+        tokens = self.run_blocks(tokens, c, deterministic)
+        return self.decode(tokens)
 
 
 class DenoisingDiT(nn.Module):
@@ -172,19 +254,14 @@ class DenoisingDiT(nn.Module):
     mlp_ratio: int = 4
     dropout: float | None = None
     remat: bool = False
+    scan_blocks: bool = False
     fourier_features: FourierFeatures | None = None
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(
-        self, mu: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True
-    ) -> jnp.ndarray:
+    def setup(self):
         if len(self.data_shape) != 3:
             raise ValueError("DenoisingDiT only supports 2D image data (H, W, C)")
-        x = mu
-        if self.fourier_features is not None:
-            x = jnp.concatenate([x, self.fourier_features(mu)], axis=-1)
-        return DiT(
+        self.dit = DiT(
             input_size=self.data_shape[:2],
             patch_size=self.patch_size,
             out_channels=self.data_shape[-1],
@@ -194,6 +271,66 @@ class DenoisingDiT(nn.Module):
             mlp_ratio=self.mlp_ratio,
             dropout=self.dropout,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
-            name="dit",
-        )(x, t, deterministic=deterministic)
+        )
+
+    def _features(self, mu: jnp.ndarray) -> jnp.ndarray:
+        if self.fourier_features is not None:
+            return jnp.concatenate([mu, self.fourier_features(mu)], axis=-1)
+        return mu
+
+    def embed(self, mu: jnp.ndarray, t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return self.dit.embed(self._features(mu), t)
+
+    def decode(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.dit.decode(tokens)
+
+    def __call__(
+        self, mu: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        return self.dit(self._features(mu), t, deterministic=deterministic)
+
+
+def stack_block_params(params, depth: int):
+    """Convert a loop-layout DiT param tree (``block_0`` ... ``block_{n-1}``)
+    to the scan layout (``blocks/block`` with a leading depth axis).
+
+    The loop layout is the interchange format (it is what the torch
+    weight-transfer converters produce, tests/test_weight_transfer.py); the
+    scan layout is what pipeline parallelism shards. Works on the full
+    ``{'params': ...}`` tree of a DenoisingDiT or bare DiT."""
+    import jax as _jax
+
+    def convert(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if "block_0" in tree:
+            rest = {k: v for k, v in tree.items() if not _BLOCK_RE.match(k)}
+            layers = [tree[f"block_{i}"] for i in range(depth)]
+            rest["blocks"] = {
+                "block": _jax.tree.map(lambda *ls: jnp.stack(ls, axis=0), *layers)
+            }
+            return rest
+        return {k: convert(v) for k, v in tree.items()}
+
+    return convert(params)
+
+
+def unstack_block_params(params):
+    """Inverse of :func:`stack_block_params`: scan layout -> loop layout."""
+    import jax as _jax
+
+    def convert(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if "blocks" in tree and isinstance(tree["blocks"], dict) and "block" in tree["blocks"]:
+            rest = {k: v for k, v in tree.items() if k != "blocks"}
+            stacked = tree["blocks"]["block"]
+            depth = _jax.tree.leaves(stacked)[0].shape[0]
+            for i in range(depth):
+                rest[f"block_{i}"] = _jax.tree.map(lambda l: l[i], stacked)
+            return rest
+        return {k: convert(v) for k, v in tree.items()}
+
+    return convert(params)

@@ -1,6 +1,7 @@
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    PIPE_AXIS,
     batch_sharding,
     make_mesh,
     pad_to_multiple,
@@ -11,6 +12,7 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
     "make_mesh",
     "batch_sharding",
     "replicated",

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
@@ -28,18 +29,32 @@ def make_mesh(
     *,
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallelism: int = 1,
+    pipeline_parallelism: int = 1,
 ) -> Mesh:
-    """Create a ``(data, model)`` mesh over the available devices.
+    """Create a ``(data[, pipe], model)`` mesh over the available devices.
 
     With ``model_parallelism=1`` (default) this is pure data parallelism.
+    ``pipeline_parallelism > 1`` inserts a ``pipe`` axis between ``data``
+    and ``model`` (bsi_tpu/parallel/pipeline.py shards stacked transformer
+    blocks over it); the axis is omitted entirely when 1 so existing
+    two-axis PartitionSpecs stay valid.
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    if n % model_parallelism:
-        raise ValueError(f"{n} devices not divisible by model_parallelism={model_parallelism}")
+    per_replica = model_parallelism * pipeline_parallelism
+    if n % per_replica:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallelism={model_parallelism}"
+            f" x pipeline_parallelism={pipeline_parallelism}"
+        )
+    if pipeline_parallelism > 1:
+        grid = np.asarray(devices).reshape(
+            n // per_replica, pipeline_parallelism, model_parallelism
+        )
+        return Mesh(grid, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     grid = np.asarray(devices).reshape(n // model_parallelism, model_parallelism)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

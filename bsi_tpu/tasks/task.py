@@ -109,9 +109,15 @@ def build_task(
 
     precision = str(trainer_cfg.get("precision", "32"))
     train_dtype = jnp.bfloat16 if precision in ("bf16", "bf16-mixed") else None
-    model = build_model(task_cfg["model"], data_shape, dtype=train_dtype)
+    pp = int(trainer_cfg.get("pipeline_parallelism", 1) or 1)
+    model_cfg = dict(task_cfg["model"])
+    if pp > 1:
+        # pipeline parallelism shards stacked transformer blocks; only the
+        # DiT family supports the stacked (scan_blocks) layout
+        model_cfg["scan_blocks"] = True
+    model = build_model(model_cfg, data_shape, dtype=train_dtype)
     eval_model = (
-        build_model(task_cfg["model"], data_shape, dtype=None)
+        build_model(model_cfg, data_shape, dtype=None)
         if train_dtype is not None
         else model
     )
@@ -146,14 +152,14 @@ def build_task(
             Path(run_dir) / "profile", num_steps=int(trainer_cfg["profile_steps"])
         )
 
-    # Tensor parallelism: carve a model axis out of the device grid; the
-    # Trainer applies Megatron column/row weight shardings when it is > 1
-    if mesh is None and int(trainer_cfg.get("model_parallelism", 1) or 1) > 1:
+    # Tensor / pipeline parallelism: carve model / pipe axes out of the
+    # device grid; the Trainer applies Megatron column/row weight shardings
+    # (model axis) or stacked-block GPipe sharding (pipe axis) when > 1
+    tp = int(trainer_cfg.get("model_parallelism", 1) or 1)
+    if mesh is None and (tp > 1 or pp > 1):
         from bsi_tpu.parallel import make_mesh
 
-        mesh = make_mesh(
-            model_parallelism=int(trainer_cfg["model_parallelism"])
-        )
+        mesh = make_mesh(model_parallelism=tp, pipeline_parallelism=pp)
 
     max_steps = int(trainer_cfg.get("max_steps", 10000))
     optimizer, lr_schedule = build_optimizer(
@@ -189,4 +195,9 @@ def build_task(
         fid_metrics=fid_metrics,
         accumulate_grad_batches=int(trainer_cfg.get("accumulate_grad_batches", 1) or 1),
         lr_schedule=lr_schedule,
+        pp_microbatches=(
+            int(trainer_cfg["pp_microbatches"])
+            if trainer_cfg.get("pp_microbatches")
+            else None
+        ),
     )

@@ -62,6 +62,7 @@ class Trainer:
         fid_metrics: Optional[dict] = None,
         accumulate_grad_batches: int = 1,
         lr_schedule=None,
+        pp_microbatches: Optional[int] = None,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -103,12 +104,41 @@ class Trainer:
         self._rep = replicated(self.mesh)
         self._shard = batch_sharding(self.mesh)
 
-        def train_apply(params, mu, t, rng):
-            rngs = {"dropout": rng} if rng is not None else None
-            return self.model.apply(params, mu, t, deterministic=False, rngs=rngs)
+        self._n_pipe = self.mesh.shape.get("pipe", 1)
+        if self._n_pipe > 1:
+            # Pipeline parallelism: blocks stacked + sharded over the pipe
+            # axis, GPipe microbatching inside shard_map
+            # (bsi_tpu/parallel/pipeline.py). Requires scan_blocks models.
+            from bsi_tpu.parallel.pipeline import make_pipeline_apply
 
-        def eval_apply(params, mu, t, rng):
-            return self.eval_model.apply(params, mu, t, deterministic=True)
+            if not getattr(self.model, "scan_blocks", False):
+                raise ValueError(
+                    "pipeline parallelism needs a model built with "
+                    "scan_blocks=True (stacked transformer blocks)"
+                )
+            self.pp_microbatches = int(pp_microbatches or self._n_pipe)
+            train_papply = make_pipeline_apply(
+                self.model, self.mesh, microbatches=self.pp_microbatches
+            )
+            eval_papply = make_pipeline_apply(
+                self.eval_model, self.mesh, microbatches=self.pp_microbatches
+            )
+
+            def train_apply(params, mu, t, rng):
+                return train_papply(params, mu, t, rng, deterministic=False)
+
+            def eval_apply(params, mu, t, rng):
+                return eval_papply(params, mu, t, None, deterministic=True)
+
+        else:
+            self.pp_microbatches = 1
+
+            def train_apply(params, mu, t, rng):
+                rngs = {"dropout": rng} if rng is not None else None
+                return self.model.apply(params, mu, t, deterministic=False, rngs=rngs)
+
+            def eval_apply(params, mu, t, rng):
+                return self.eval_model.apply(params, mu, t, deterministic=True)
 
         self.train_apply = train_apply
         self.eval_apply = eval_apply
@@ -131,6 +161,10 @@ class Trainer:
         axis > 1, weight matrices additionally shard tensor-parallel in
         Megatron column/row pairs (bsi_tpu/parallel/tensor.py), composing
         with FSDP on the remaining dims."""
+        if self._n_pipe > 1:
+            from bsi_tpu.parallel.pipeline import pp_state_sharding
+
+            return pp_state_sharding(state, self.mesh, fsdp=self.fsdp)
         if self.mesh.shape.get("model", 1) > 1:
             from bsi_tpu.parallel.tensor import tp_state_sharding
 
@@ -162,6 +196,19 @@ class Trainer:
                 f"accumulate_grad_batches={self.accum} x data-axis size {n_data} "
                 f"so every micro-batch shards evenly"
             )
+        if self._n_pipe > 1:
+            m = self.pp_microbatches
+            for label, bs in (
+                ("batch_size", getattr(self.data, "batch_size", None)),
+                ("eval_batch_size", getattr(self.data, "eval_batch_size", None)),
+            ):
+                if bs is not None and (bs // n_data) % m != 0:
+                    raise ValueError(
+                        f"data.{label}={bs} gives {bs // n_data} examples per "
+                        f"data-parallel device, not divisible by "
+                        f"pp_microbatches={m}; the pipeline needs equal "
+                        f"microbatches on every device"
+                    )
 
     def _ensure_compiled(self):
         if self._train_step is not None:
@@ -434,23 +481,26 @@ class Trainer:
         if nproc == 1:
             fid.update(images_to_uint8(np.asarray(samples01)[mask]))
             return
-        # The per-host shard dedup below assumes a model-axis replica group
-        # never spans processes — otherwise two hosts would hold identical
-        # batch ranges and double-count them. All standard meshes (model on
-        # the fastest axis, ICI-local) satisfy this; fail loudly if not.
-        if self.mesh.shape.get("model", 1) > 1:
-            axes = list(self.mesh.axis_names)
+        # The per-host shard dedup below assumes a replica group on any
+        # non-data axis (model, pipe) never spans processes — otherwise two
+        # hosts would hold identical batch ranges and double-count them. All
+        # standard meshes (replica axes fastest, ICI-local) satisfy this;
+        # fail loudly if not.
+        axes = list(self.mesh.axis_names)
+        for axis in axes:
+            if axis == "data" or self.mesh.shape.get(axis, 1) <= 1:
+                continue
             dev = np.asarray(self.mesh.devices)
-            model_groups = np.moveaxis(dev, axes.index("model"), -1).reshape(
-                -1, self.mesh.shape["model"]
+            groups = np.moveaxis(dev, axes.index(axis), -1).reshape(
+                -1, self.mesh.shape[axis]
             )
-            for group in model_groups:
+            for group in groups:
                 procs = {d.process_index for d in group}
                 if len(procs) > 1:
                     raise RuntimeError(
-                        "validation-time FID requires model-axis replica groups "
+                        f"validation-time FID requires {axis}-axis replica groups "
                         f"local to one process; got group spanning processes {procs}. "
-                        "Order the mesh so the model axis is innermost per host."
+                        f"Order the mesh so the {axis} axis is innermost per host."
                     )
         # addressable_shards has one entry per local DEVICE; with a model
         # axis the batch shards are replicated across it, so dedup by the
