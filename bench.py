@@ -29,10 +29,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
+
+from bsi_tpu.utils import enable_compilation_cache
+
+# Big-model compiles travel over a remote-compile RPC on the target TPU and
+# can take tens of minutes cold; the persistent cache turns every rerun into
+# a disk hit so the bench can't die in a compile (utils/compilation_cache.py)
+enable_compilation_cache()
+
 import jax.numpy as jnp
+
+
+def _phase(msg: str) -> None:
+    """Progress marker on stderr (stdout must stay one JSON line)."""
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.monotonic()
 
 # Analytic A100 estimates for the torch reference (see module docstring)
 A100_BASELINE_UNET = 8.0
@@ -90,7 +107,9 @@ def bench_sampling(model, algo, *, batch: int, n_iters: int = 3) -> dict:
     model_fn = lambda m, tt: model.apply(params, m, tt)
     sample = jax.jit(lambda rng: algo.sample(model_fn, rng, batch))
 
+    _phase(f"{type(model).__name__}: compiling sampler (cold compile can take minutes)")
     np.asarray(sample(jax.random.key(1)))  # warmup / compile
+    _phase(f"{type(model).__name__}: compiled; timing {n_iters} iters")
 
     start = time.perf_counter()
     for i in range(n_iters):

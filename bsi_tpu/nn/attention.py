@@ -13,7 +13,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bsi_tpu.ops import multi_head_attention
+from bsi_tpu.ops import multi_head_attention, multi_head_attention_packed
 
 
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
@@ -66,8 +66,26 @@ def repack_qkv_head_major(w, heads: int):
     return w.reshape(shape)
 
 
+def _extract_qkv_packed(qkv: jnp.ndarray, heads: int):
+    """Head-major packed qkv ``[B, S, (h qkv c)]`` -> three ``[B, S, (h c)]``.
+
+    A pure lane gather: no sequence/sublane movement, so XLA lowers it far
+    cheaper than the [B,S,H,D]->[B,H,S,D] transposes it replaces. The (h c)
+    outputs feed :func:`bsi_tpu.ops.multi_head_attention_packed` directly."""
+    b, s, three_hd = qkv.shape
+    d = three_hd // (3 * heads)
+    qkv5 = qkv.reshape(b, s, heads, 3, d)
+    flat = lambda x: x.reshape(b, s, heads * d)
+    return flat(qkv5[:, :, :, 0]), flat(qkv5[:, :, :, 1]), flat(qkv5[:, :, :, 2])
+
+
 class TokenAttention(nn.Module):
-    """Multi-head self-attention over a token sequence ``[B, S, F]``."""
+    """Multi-head self-attention over a token sequence ``[B, S, F]``.
+
+    Runs in the PACKED layout end to end: qkv projection -> lane-gather
+    split -> packed fused attention -> out projection, with no head
+    transposes anywhere on the TPU fast path (ops/flash_attention_packed.py).
+    """
 
     heads: int
     dropout: float = 0.0
@@ -77,11 +95,13 @@ class TokenAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
         qkv = nn.Dense(3 * dim, dtype=self.dtype, name="to_qkv")(x)
-        q, k, v = _split_qkv_head_major(qkv, self.heads)
+        q, k, v = _extract_qkv_packed(qkv, self.heads)
         rate = 0.0 if deterministic else self.dropout
         rng = self.make_rng("dropout") if rate > 0.0 else None
-        out = multi_head_attention(q, k, v, dropout_rate=rate, dropout_rng=rng)
-        return nn.Dense(dim, dtype=self.dtype, name="to_out")(_merge_heads(out))
+        out = multi_head_attention_packed(
+            q, k, v, heads=self.heads, dropout_rate=rate, dropout_rng=rng
+        )
+        return nn.Dense(dim, dtype=self.dtype, name="to_out")(out)
 
 
 class Attention2D(nn.Module):

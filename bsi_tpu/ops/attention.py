@@ -116,6 +116,73 @@ def multi_head_attention(
 
 
 @functools.cache
+def _fused_packed_fn(rate: float, head_dim: int):
+    """custom-VJP fused attention over the PACKED layout ``[B, S, H*D]``
+    (head-major lanes) — no head transposes on either side of the kernel
+    (bsi_tpu/ops/flash_attention_packed.py). Seeds: int32 [batch, heads]."""
+    from .flash_attention_packed import _partitioned_packed, _partitioned_packed_bwd
+
+    @jax.custom_vjp
+    def fused(q, k, v, seeds):
+        return _partitioned_packed(rate, head_dim)(q, k, v, seeds)
+
+    def fused_fwd(q, k, v, seeds):
+        return fused(q, k, v, seeds), (q, k, v, seeds)
+
+    def fused_bwd(residuals, g):
+        q, k, v, seeds = residuals
+        dq, dk, dv = _partitioned_packed_bwd(rate, head_dim)(q, k, v, g, seeds)
+        return dq, dk, dv, np.zeros(seeds.shape, jax.dtypes.float0)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def multi_head_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    heads: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Attention over the packed layout ``[B, S, H*D]`` (head-major lanes).
+
+    On TPU with lane-tileable shapes this runs the packed Pallas kernels,
+    which consume and produce the natural matmul layout directly — deleting
+    the four per-layer head transposes of the strided path (measured
+    ~47 ms/step on DiT-L/2 b64). Otherwise it falls back to the strided
+    :func:`multi_head_attention` (Pallas or XLA) behind a split/merge."""
+    from .flash_attention_packed import packed_applicable
+
+    b, s, hd_total = q.shape
+    if hd_total % heads:
+        raise ValueError(f"feature dim {hd_total} not divisible by heads={heads}")
+    head_dim = hd_total // heads
+    if use_pallas is None:
+        use_pallas = _default_backend() == "tpu" and packed_applicable(
+            hd_total, heads, s
+        )
+    if use_pallas:
+        if dropout_rate > 0.0:
+            if dropout_rng is None:
+                raise ValueError("dropout_rate > 0 requires a dropout_rng")
+            seeds = jax.random.randint(dropout_rng, (b, heads), 0, 2**31 - 1, jnp.int32)
+        else:
+            seeds = jnp.zeros((b, heads), jnp.int32)
+        return _fused_packed_fn(float(dropout_rate), head_dim)(q, k, v, seeds)
+    # fallback: strided layout (keeps the q-blocked Pallas kernel for long
+    # no-dropout sequences, XLA elsewhere)
+    to4 = lambda x: x.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+    out = multi_head_attention(
+        to4(q), to4(k), to4(v), dropout_rate=dropout_rate, dropout_rng=dropout_rng
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, s, hd_total)
+
+
+@functools.cache
 def _default_backend() -> str:
     return jax.default_backend()
 

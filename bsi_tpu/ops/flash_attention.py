@@ -59,20 +59,34 @@ def _keep_mask(shape: tuple[int, int], keep_prob: float) -> jnp.ndarray:
     return bits < jnp.uint32(threshold)
 
 
+def _dot_precision(in_dtype) -> jax.lax.Precision | None:
+    """In-kernel MXU precision by input dtype: f32 callers (the eval/ELBO
+    model and f64-less CPU tests) get exact f32 dots — Mosaic's DEFAULT runs
+    f32 contractions as fast bf16 MXU passes, measured 4e-3 drift — while
+    bf16 train/serving inputs keep the fast default (casting bf16 up to f32
+    adds no information for HIGHEST to preserve). Measured cost of HIGHEST:
+    +22% kernel time, paid only on the f32 paths."""
+    return jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else None
+
+
 def _fwd_math(q, k, v, keep, scale, keep_prob):
     """softmax(q k^T * scale) [dropout] v — f32 softmax, MXU-dtype PV."""
+    prec = _dot_precision(q.dtype)
     logits = jax.lax.dot_general(
         q.astype(jnp.float32) * scale,
         k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     logits -= jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits)
     probs = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
     if keep is not None:
         probs = jnp.where(keep, probs / keep_prob, 0.0)
-    return jnp.dot(probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        probs.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec
+    )
 
 
 def _bwd_math(q, k, v, do, keep, scale, keep_prob):
@@ -82,6 +96,7 @@ def _bwd_math(q, k, v, do, keep, scale, keep_prob):
     O = Pd V:  dV = Pd^T dO;  dPd = dO V^T;  dP = dropout'(dPd);
     dS = P * (dP - sum(dP * P, axis=-1));  dQ = dS K * scale;  dK = dS^T Q * scale.
     """
+    prec = _dot_precision(q.dtype)
     q32 = q.astype(jnp.float32)
     k32 = k.astype(jnp.float32)
     logits = jax.lax.dot_general(
@@ -89,6 +104,7 @@ def _bwd_math(q, k, v, do, keep, scale, keep_prob):
         k32,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     logits -= jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits)
@@ -104,12 +120,14 @@ def _bwd_math(q, k, v, do, keep, scale, keep_prob):
         do,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     dpd = jax.lax.dot_general(  # dO V^T
         do,
         v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     if keep is not None:
         dp = jnp.where(keep, dpd / keep_prob, 0.0)
@@ -117,12 +135,13 @@ def _bwd_math(q, k, v, do, keep, scale, keep_prob):
         dp = dpd
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
     ds = ds.astype(in_dtype)  # bf16 MXU for the two remaining contractions
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=prec) * scale
     dk = jax.lax.dot_general(  # dS^T Q
         ds,
         q,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ) * scale
     return dq, dk, dv
 

@@ -215,15 +215,20 @@ def test_dropout_kernels_fwd_bwd_consistent_on_tpu():
     assert 0.85 < float(mask.mean()) < 0.95  # ~keep_prob
 
     def ref_attn(q, k, v):
+        # highest precision to match the kernels' exact-f32 dots on f32
+        # inputs (ops/flash_attention.py::_dot_precision)
         scale = 1.0 / np.sqrt(d)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision="highest")
         probs = jnp.where(mask, jax.nn.softmax(logits, axis=-1) / keep_prob, 0.0)
-        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision="highest")
 
+    # ulp-scale tolerance: the kernels' HIGHEST dots (multi-pass MXU) are
+    # f32-exact but not bit-identical to XLA's einsum; a wrong dropout mask
+    # would show as O(0.1) whole-row errors, far above this.
     out = fa_mod.flash_attention_dropout(q, k, v, seeds, rate=rate)
     out_ref, vjp = jax.vjp(ref_attn, q, k, v)
-    npt.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    npt.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-6, rtol=1e-5)
 
     dq, dk, dv = fa_mod.flash_attention_bwd(q, k, v, g, seeds, rate=rate)
     for a, b_ in zip((dq, dk, dv), vjp(g)):
-        npt.assert_array_equal(np.asarray(a), np.asarray(b_))
+        npt.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4)

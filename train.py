@@ -30,9 +30,11 @@ def run_one(config: dict) -> dict:
     import jax
 
     from bsi_tpu.parallel.distributed import host_shard, initialize_distributed
+    from bsi_tpu.utils import enable_compilation_cache
     from bsi_tpu.utils.preemption import PreemptionHandler
 
     initialize_distributed()
+    enable_compilation_cache()
     shard_id, num_shards = host_shard()
     is_main = shard_id == 0
 
