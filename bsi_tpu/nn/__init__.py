@@ -1,4 +1,4 @@
-from .attention import Attention2D, TokenAttention, repack_qkv_head_major
+from .attention import Attention2D, TokenAttention, repack_qkv_grouped
 from .blocks import ResidualBlock, SimplifiedUNet, feature_modulation
 from .fourier import FourierFeatures
 from .mlp import MLP
@@ -13,4 +13,5 @@ __all__ = [
     "ResidualBlock",
     "SimplifiedUNet",
     "feature_modulation",
+    "repack_qkv_grouped",
 ]

@@ -183,6 +183,97 @@ def multi_head_attention_packed(
 
 
 @functools.cache
+def _fused_qkv_fn(rate: float, head_dim: int, hpg: int):
+    """custom-VJP fused attention consuming the GROUPED qkv projection output
+    ``[B, S, 3*H*D]`` directly (zero-copy q/k/v split) and returning the fused
+    dqkv gradient (zero-copy merge). Seeds: int32 [batch, heads]."""
+    from .flash_attention_packed import _partitioned_fused, _partitioned_fused_bwd
+
+    @jax.custom_vjp
+    def fused(qkv, seeds):
+        groups = qkv.shape[-1] // (3 * hpg * head_dim)
+        return _partitioned_fused(rate, head_dim, hpg, groups)(qkv, seeds)
+
+    def fused_fwd(qkv, seeds):
+        return fused(qkv, seeds), (qkv, seeds)
+
+    def fused_bwd(residuals, g):
+        qkv, seeds = residuals
+        groups = qkv.shape[-1] // (3 * hpg * head_dim)
+        dqkv = _partitioned_fused_bwd(rate, head_dim, hpg, groups)(qkv, g, seeds)
+        return dqkv, np.zeros(seeds.shape, jax.dtypes.float0)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def split_qkv_grouped(qkv: jnp.ndarray, heads: int):
+    """GROUPED-layout qkv ``[B, S, (g qkv hpg d)]`` -> q, k, v ``[B, H, S, D]``.
+
+    The inverse view of the weight packing in
+    :func:`bsi_tpu.nn.attention.repack_qkv_grouped` — used only on the
+    fallback (non-Pallas) path and by layout-parity tests; the TPU fast path
+    never materializes the split (flash_attention_packed.flash_attention_fused).
+    """
+    from .flash_attention_packed import qkv_heads_per_group
+
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    hpg = qkv_heads_per_group(d, heads)
+    x = qkv.reshape(b, s, heads // hpg, 3, hpg, d)
+    pick = lambda j: x[:, :, :, j].reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    return pick(0), pick(1), pick(2)
+
+
+def multi_head_attention_fused_qkv(
+    qkv: jnp.ndarray,
+    *,
+    heads: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Attention straight off the fused qkv projection output.
+
+    ``qkv``: ``[B, S, 3*H*D]`` in the GROUPED layout (weights packed by
+    :func:`bsi_tpu.nn.attention.repack_qkv_grouped`). On TPU with
+    lane-tileable shapes the Pallas kernels read q/k/v via offset index maps
+    on this single buffer and the backward writes one fused dqkv — the
+    entire attention block runs with ZERO layout copies (the last ~14 ms of
+    DiT-L/2 step time the packed 3-tensor path still paid, PERF_NOTES.md).
+    Output: ``[B, S, H*D]`` head-major, ready for the out projection."""
+    from .flash_attention_packed import packed_applicable, qkv_heads_per_group
+
+    b, s, three_hd = qkv.shape
+    if three_hd % (3 * heads):
+        raise ValueError(
+            f"fused qkv dim {three_hd} not divisible by 3*heads={3 * heads}"
+        )
+    hd_total = three_hd // 3
+    head_dim = hd_total // heads
+    if use_pallas is None:
+        use_pallas = _default_backend() == "tpu" and packed_applicable(
+            hd_total, heads, s
+        )
+    if use_pallas:
+        if dropout_rate > 0.0:
+            if dropout_rng is None:
+                raise ValueError("dropout_rate > 0 requires a dropout_rng")
+            seeds = jax.random.randint(dropout_rng, (b, heads), 0, 2**31 - 1, jnp.int32)
+        else:
+            seeds = jnp.zeros((b, heads), jnp.int32)
+        hpg = qkv_heads_per_group(head_dim, heads)
+        return _fused_qkv_fn(float(dropout_rate), head_dim, hpg)(qkv, seeds)
+    # fallback: materialize the split and run the strided path
+    q, k, v = split_qkv_grouped(qkv, heads)
+    out = multi_head_attention(
+        q, k, v, dropout_rate=dropout_rate, dropout_rng=dropout_rng
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, s, hd_total)
+
+
+@functools.cache
 def _default_backend() -> str:
     return jax.default_backend()
 

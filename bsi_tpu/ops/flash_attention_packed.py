@@ -27,6 +27,15 @@ Dropout follows the same design as the strided kernels: per-(batch, head)
 seeds for the per-core TPU PRNG, regenerated identically in the backward
 kernel, no mask in HBM. Forward/backward/seed indexing must agree on the
 grouping — both kernels use ``_pick_batch_group``.
+
+The FUSED-qkv variants (`flash_attention_fused`, `flash_attention_fused_bwd`)
+go one step further: with the GROUPED weight layout (`qkv_heads_per_group`)
+each lane group's q|k|v are three adjacent blocks of the qkv projection's
+own output buffer, so the forward reads them via offset BlockSpec index maps
+(zero-copy split — the buffer is passed three times, three DMA streams, no
+gather) and the backward writes the fused dqkv as one contiguous store per
+group (zero-copy merge). The attention block then runs with NO layout ops at
+all between the two projections.
 """
 
 from __future__ import annotations
@@ -220,7 +229,165 @@ def _packed_bwd_kernel(
     jax.lax.fori_loop(0, group, body, 0)
 
 
+def _fused_bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, dqkv_ref,
+    *, scale, keep_prob, head_dim, heads,
+):
+    """Backward writing the FUSED dqkv block ``[group, seq, 3*blk]`` directly.
+
+    With the grouped qkv layout (see :func:`qkv_heads_per_group`) one grid
+    cell's dq/dk/dv land on three adjacent lane blocks of the fused buffer,
+    so the gradient of the qkv projection output needs no concatenation in
+    HBM — the kernel's single write IS the fused gradient."""
+    group, _, blk = q_ref.shape
+    seq_q, seq_k = q_ref.shape[1], k_ref.shape[1]
+    n_sub = max(1, blk // head_dim)
+    masks = _subhead_masks(head_dim, jnp.float32)
+    cell_b = pl.program_id(0)
+    cell_p = pl.program_id(1)
+
+    def body(g, _):
+        keeps = None
+        if keep_prob < 1.0:
+            keeps = []
+            for j in range(n_sub):
+                row = (cell_b * group + g) * heads + cell_p * n_sub + j
+                pltpu.prng_seed(seed_ref[row])
+                keeps.append(_keep_mask((seq_q, seq_k), keep_prob))
+        dq, dk, dv = _packed_bwd_math(
+            q_ref[pl.ds(g, 1)][0], k_ref[pl.ds(g, 1)][0], v_ref[pl.ds(g, 1)][0],
+            do_ref[pl.ds(g, 1)][0], masks, keeps, scale, keep_prob,
+        )
+        fused = jnp.concatenate([dq, dk, dv], axis=-1)  # in VMEM, one write
+        dqkv_ref[pl.ds(g, 1)] = fused.astype(dqkv_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, group, body, 0)
+
+
 # ----------------------------------------------------------- public calls
+
+
+def qkv_heads_per_group(head_dim: int, heads: int) -> int:
+    """Heads per 128-lane group in the GROUPED qkv weight layout.
+
+    The grouped layout packs the qkv projection's output axis as
+    ``(group, qkv, heads_per_group, head_dim)`` — e.g. at head_dim 64 a
+    group is a head PAIR and its q|k|v are three adjacent 128-lane blocks.
+    This single layout serves both consumers:
+
+    - the fused kernels read q/k/v of group ``p`` straight out of the fused
+      projection output at lane offsets ``(3p, 3p+1, 3p+2) * block`` —
+      zero-copy split — and the backward writes the fused dqkv gradient as
+      one contiguous ``3*block`` store per group (`_fused_bwd_kernel`);
+    - tensor parallelism's plain column sharding of the weight stays
+      HEAD-ALIGNED as long as the model axis divides the group count
+      (parallel/tensor.py).
+
+    head_dim >= 128 degenerates to one head per group (grouped == the old
+    head-major layout); head dims that don't tile 128 lanes get hpg=1.
+    """
+    if head_dim < LANE and LANE % head_dim == 0 and heads % (LANE // head_dim) == 0:
+        return LANE // head_dim
+    return 1
+
+
+def flash_attention_fused(
+    qkv: jnp.ndarray,
+    seeds: jnp.ndarray,
+    *,
+    heads: int,
+    rate: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused forward reading q/k/v straight from the GROUPED qkv buffer.
+
+    ``qkv``: ``[B, S, 3*H*D]`` in the grouped layout (`qkv_heads_per_group`).
+    The same whole-sequence kernel as :func:`flash_attention_packed` runs —
+    the only difference is the BlockSpec index maps, which point the q/k/v
+    DMA streams at lane offsets of the single fused buffer (zero-copy split).
+    ``seeds``: int32 ``[B * H]``, ignored when ``rate == 0``."""
+    b, seq, three_hd = qkv.shape
+    hd_total = three_hd // 3
+    head_dim = hd_total // heads
+    keep_prob = 1.0 - rate
+    blk = max(LANE, head_dim)
+    group = _pick_batch_group(b, seq)
+
+    def in_spec(off):
+        return pl.BlockSpec(
+            (group, seq, blk),
+            lambda i, p, off=off: (i, 0, 3 * p + off),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec(
+        (group, seq, blk), lambda i, p: (i, 0, p), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _packed_kernel, scale=1.0 / (head_dim**0.5), keep_prob=keep_prob,
+            head_dim=head_dim, heads=heads,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, seq, hd_total), qkv.dtype),
+        grid=(b // group, hd_total // blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_spec(0), in_spec(1), in_spec(2),
+        ],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(seeds, qkv, qkv, qkv)
+
+
+def flash_attention_fused_bwd(
+    qkv: jnp.ndarray,
+    do: jnp.ndarray,
+    seeds: jnp.ndarray,
+    *,
+    heads: int,
+    rate: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused backward: grouped qkv buffer + dO -> fused dqkv ``[B, S, 3*H*D]``.
+
+    Reads q/k/v via the same offset index maps as the forward and writes the
+    three gradients of each group as ONE contiguous ``3*block`` lane store,
+    so the qkv projection's VJP consumes the result with no concatenation."""
+    b, seq, three_hd = qkv.shape
+    hd_total = three_hd // 3
+    head_dim = hd_total // heads
+    keep_prob = 1.0 - rate
+    blk = max(LANE, head_dim)
+    group = _pick_batch_group(b, seq)
+
+    def in_spec(off):
+        return pl.BlockSpec(
+            (group, seq, blk),
+            lambda i, p, off=off: (i, 0, 3 * p + off),
+            memory_space=pltpu.VMEM,
+        )
+
+    do_spec = pl.BlockSpec(
+        (group, seq, blk), lambda i, p: (i, 0, p), memory_space=pltpu.VMEM
+    )
+    dqkv_spec = pl.BlockSpec(
+        (group, seq, 3 * blk), lambda i, p: (i, 0, p), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, scale=1.0 / (head_dim**0.5), keep_prob=keep_prob,
+            head_dim=head_dim, heads=heads,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, seq, three_hd), qkv.dtype),
+        grid=(b // group, hd_total // blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_spec(0), in_spec(1), in_spec(2), do_spec,
+        ],
+        out_specs=dqkv_spec,
+        interpret=interpret,
+    )(seeds, qkv, qkv, qkv, do)
 
 
 def packed_applicable(hd_total: int, heads: int, seq: int) -> bool:
@@ -355,5 +522,60 @@ def _partitioned_packed_bwd(rate: float, head_dim: int):
         ),
         need_replication_factors=("s", "e"),
         e=head_dim,
+    )
+    return f
+
+
+# The fused-qkv variants shard batch on ``b`` and lane GROUPS on ``g`` —
+# the grouped layout keeps each group's q|k|v (and its heads' seeds, factor
+# ``t``) on one rank, so tensor parallelism over head groups needs no
+# resharding at the kernel boundary. ``x``/``y`` (the 3*block / block lane
+# widths inside a group) and ``s`` must stay whole.
+
+
+@functools.cache
+def _partitioned_fused(rate: float, head_dim: int, hpg: int, groups: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def local_fn(qkv, seeds2d):
+        heads = qkv.shape[-1] // (3 * head_dim)
+        return flash_attention_fused(
+            qkv, seeds2d.reshape(-1), heads=heads, rate=rate
+        )
+
+    f = custom_partitioning(local_fn)
+    f.def_partition(
+        partition=_make_partition(local_fn),
+        sharding_rule="b s (g x), b (g t) -> b s (g y)",
+        need_replication_factors=("s", "x", "t", "y"),
+        g=groups,
+        x=3 * hpg * head_dim,
+        t=hpg,
+        y=hpg * head_dim,
+    )
+    return f
+
+
+@functools.cache
+def _partitioned_fused_bwd(rate: float, head_dim: int, hpg: int, groups: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def local_fn(qkv, do, seeds2d):
+        heads = qkv.shape[-1] // (3 * head_dim)
+        return flash_attention_fused_bwd(
+            qkv, do, seeds2d.reshape(-1), heads=heads, rate=rate
+        )
+
+    f = custom_partitioning(local_fn)
+    f.def_partition(
+        partition=_make_partition(local_fn),
+        sharding_rule="b s (g x), b s (g y), b (g t) -> b s (g x)",
+        # NB: must be listed in first-appearance order of the rule string
+        # (MLIR verifier: "indices of special factors must be sorted")
+        need_replication_factors=("s", "x", "y", "t"),
+        g=groups,
+        x=3 * hpg * head_dim,
+        t=hpg,
+        y=hpg * head_dim,
     )
     return f

@@ -8,14 +8,16 @@ model-code changes:
 
 - attention: the full Megatron pair — ``to_qkv`` column-parallel,
   ``to_out`` row-parallel (partial products + ONE all-reduce per block).
-  ``to_qkv``'s output axis is packed HEAD-MAJOR ``(h qkv c)`` (see
-  :func:`bsi_tpu.nn.attention._split_qkv_head_major`; the torch reference's
-  ``(qkv h c)`` layout is repacked by the weight-transfer converters), so a
-  plain column sharding is head-aligned and GSPMD keeps the per-head q/k/v
-  slices local — no activation reshard at the split. Head alignment holds
-  when the model-axis size divides ``heads`` (true for all DiT recipes:
-  16 heads vs model axes of 2-8); otherwise GSPMD still computes the same
-  result with an extra reshard.
+  ``to_qkv``'s output axis is packed in the GROUPED layout ``(g qkv x)``
+  (see :func:`bsi_tpu.nn.attention.repack_qkv_grouped`; the torch
+  reference's ``(qkv h c)`` layout is repacked by the weight-transfer
+  converters), so a plain column sharding is group-aligned (whole heads
+  with their q|k|v per rank) and GSPMD keeps the per-head slices local —
+  no activation reshard at the split, and the zero-copy fused kernels'
+  sharding rules shard the same ``g`` factor. Alignment holds when the
+  model-axis size divides the group count ``heads / heads_per_group``
+  (true for all DiT recipes: 8 head pairs vs model axes of 2-8); otherwise
+  GSPMD still computes the same result with an extra reshard.
 - MLP pairs inside transformer blocks (path ``*/mlp/Dense_{even,odd}``):
   alternating column/row — one all-reduce per MLP. Scoped to ``mlp/`` so a
   lone unpaired Dense elsewhere in the tree is never column-sharded into a

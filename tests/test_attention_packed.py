@@ -44,15 +44,16 @@ def _xla_packed(q, k, v, heads):
 
 
 def _interpret_packed(monkeypatch):
-    fwd, bwd = fap.flash_attention_packed, fap.flash_attention_packed_bwd
-    monkeypatch.setattr(
-        fap, "flash_attention_packed", lambda *a, **kw: fwd(*a, interpret=True, **kw)
-    )
-    monkeypatch.setattr(
-        fap,
+    for name in (
+        "flash_attention_packed",
         "flash_attention_packed_bwd",
-        lambda *a, **kw: bwd(*a, interpret=True, **kw),
-    )
+        "flash_attention_fused",
+        "flash_attention_fused_bwd",
+    ):
+        fn = getattr(fap, name)
+        monkeypatch.setattr(
+            fap, name, lambda *a, fn=fn, **kw: fn(*a, interpret=True, **kw)
+        )
 
 
 @pytest.mark.parametrize("heads,head_dim", [(4, 64), (2, 128), (6, 64)])
@@ -121,14 +122,11 @@ def test_packed_applicability():
     assert not ok(1024, 16, 1024)  # beyond the whole-sequence VMEM range
 
 
-def test_token_attention_packed_path_matches_strided_module(monkeypatch):
-    """TokenAttention (packed path) == the strided formulation it replaced,
-    with identical params — pins the lane-gather extraction order."""
-    from bsi_tpu.nn.attention import (
-        TokenAttention,
-        _merge_heads,
-        _split_qkv_head_major,
-    )
+def test_token_attention_fused_path_matches_strided_module(monkeypatch):
+    """TokenAttention (fused-qkv path) == the strided formulation it
+    replaced, with identical params — pins the grouped extraction order."""
+    from bsi_tpu.nn.attention import TokenAttention, _merge_heads
+    from bsi_tpu.ops import split_qkv_grouped
     import flax.linen as nn
 
     class StridedTokenAttention(nn.Module):
@@ -138,7 +136,7 @@ def test_token_attention_packed_path_matches_strided_module(monkeypatch):
         def __call__(self, x):
             dim = x.shape[-1]
             qkv = nn.Dense(3 * dim, name="to_qkv")(x)
-            q, k, v = _split_qkv_head_major(qkv, self.heads)
+            q, k, v = split_qkv_grouped(qkv, self.heads)
             out = _xla_attention(q, k, v)
             return nn.Dense(dim, name="to_out")(_merge_heads(out))
 
@@ -149,6 +147,93 @@ def test_token_attention_packed_path_matches_strided_module(monkeypatch):
     y_new = new.apply(params, x)
     y_old = old.apply(params, x)
     npt.assert_allclose(np.asarray(y_new), np.asarray(y_old), atol=1e-10)
+
+
+def test_repack_and_split_invert_the_reference_layout():
+    """repack_qkv_grouped on the weights == the reference's (qkv h c) chunk
+    split, viewed through split_qkv_grouped: x @ repack(W) split per head
+    must equal the plain per-head chunks of x @ W."""
+    from bsi_tpu.nn.attention import repack_qkv_grouped
+    from bsi_tpu.ops import split_qkv_grouped
+
+    heads, d, dim = 4, 64, 256
+    kx, kw = jax.random.split(jax.random.key(5))
+    x = jax.random.normal(kx, (2, 8, dim))
+    w = jax.random.normal(kw, (dim, 3 * heads * d))
+
+    qkv_ref = x @ w  # reference layout: [q all heads | k | v], head-major inside
+    q_ref, k_ref, v_ref = (
+        c.reshape(2, 8, heads, d).transpose(0, 2, 1, 3)
+        for c in jnp.split(qkv_ref, 3, axis=-1)
+    )
+    q, k, v = split_qkv_grouped(x @ repack_qkv_grouped(w, heads), heads)
+    npt.assert_allclose(np.asarray(q), np.asarray(q_ref), atol=1e-12)
+    npt.assert_allclose(np.asarray(k), np.asarray(k_ref), atol=1e-12)
+    npt.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("heads,head_dim", [(4, 64), (2, 128)])
+def test_fused_qkv_forward_and_grad_match_fallback(monkeypatch, heads, head_dim):
+    """The zero-copy fused kernels (offset index maps on one buffer, fused
+    dqkv write) == the grouped-split XLA fallback, values and the qkv-buffer
+    gradient."""
+    _interpret_packed(monkeypatch)
+    from bsi_tpu.ops import split_qkv_grouped
+    from bsi_tpu.ops.attention import _fused_qkv_fn
+
+    b, s = 4, 128
+    qkv = jax.random.normal(jax.random.key(9), (b, s, 3 * heads * head_dim))
+    seeds = jnp.zeros((b, heads), jnp.int32)
+    hpg = fap.qkv_heads_per_group(head_dim, heads)
+    fused = _fused_qkv_fn(0.0, head_dim, hpg)
+
+    def fallback(qkv):
+        q, k, v = split_qkv_grouped(qkv, heads)
+        out = _xla_attention(q, k, v)
+        return out.transpose(0, 2, 1, 3).reshape(b, s, heads * head_dim)
+
+    out = fused(qkv, seeds)
+    ref = fallback(qkv)
+    npt.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    g = jax.grad(lambda q: (fused(q, seeds) ** 2).sum())(qkv)
+    g_ref = jax.grad(lambda q: (fallback(q) ** 2).sum())(qkv)
+    npt.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-4)
+
+
+def test_fused_qkv_shards_over_batch_and_groups(monkeypatch):
+    """SPMD rules of the fused variants: batch on data, lane groups on
+    model; the fused dqkv gradient keeps the qkv buffer's sharding."""
+    _interpret_packed(monkeypatch)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from bsi_tpu.ops import split_qkv_grouped
+    from bsi_tpu.ops.attention import _fused_qkv_fn
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    heads, head_dim, b, s = 4, 64, 8, 128
+    qkv = jax.random.normal(jax.random.key(13), (b, s, 3 * heads * head_dim))
+    seeds = jnp.zeros((b, heads), jnp.int32)
+    qkv_s = jax.device_put(qkv, NamedSharding(mesh, P("data", None, "model")))
+    seeds_s = jax.device_put(seeds, NamedSharding(mesh, P("data", "model")))
+    hpg = fap.qkv_heads_per_group(head_dim, heads)
+    fused = _fused_qkv_fn(0.0, head_dim, hpg)
+
+    out = jax.jit(fused)(qkv_s, seeds_s)
+    assert out.sharding.spec[0] == "data", f"lost batch sharding: {out.sharding}"
+    assert out.sharding.spec[2] == "model", f"lost group sharding: {out.sharding}"
+
+    def fallback(qkv):
+        q, k, v = split_qkv_grouped(qkv, heads)
+        o = _xla_attention(q, k, v)
+        return o.transpose(0, 2, 1, 3).reshape(b, s, heads * head_dim)
+
+    npt.assert_allclose(np.asarray(out), np.asarray(fallback(qkv)), atol=5e-4)
+
+    g = jax.jit(jax.grad(lambda q: (fused(q, seeds_s) ** 2).sum()))(qkv_s)
+    g_ref = jax.grad(lambda q: (fallback(q) ** 2).sum())(qkv)
+    assert g.sharding.spec[2] == "model", f"dqkv lost sharding: {g.sharding}"
+    npt.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-4)
 
 
 def test_packed_shards_over_batch_and_heads(monkeypatch):
@@ -233,3 +318,38 @@ def test_packed_dropout_kernels_fwd_bwd_consistent_on_tpu():
     npt.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
     for got, want in zip((dq, dk, dv), vjp(g)):
         npt.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU PRNG kernels")
+def test_fused_qkv_dropout_matches_packed_on_tpu():
+    """On real TPU: the zero-copy fused kernels regenerate the exact same
+    dropout masks as the packed 3-tensor kernels from the same seeds (both
+    index the per-core PRNG by global (batch, head)), and the fused dqkv is
+    the lane concatenation of the packed dq|dk|dv."""
+    b, heads, seq, d = 2, 4, 128, 64
+    rate = 0.1
+    q, k, v = _packed_qkv(b=b, s=seq, heads=heads, head_dim=d, seed=21)
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    g = jax.random.normal(jax.random.key(22), q.shape, jnp.float32)
+    seeds = jnp.arange(31, 31 + b * heads, dtype=jnp.int32)
+
+    # grouped fused buffer: group p's q|k|v adjacent. hpg=2 at d=64.
+    x6 = lambda t: t.reshape(b, seq, heads // 2, 2 * d)
+    qkv = jnp.concatenate(
+        [jnp.stack([x6(q)[:, :, p], x6(k)[:, :, p], x6(v)[:, :, p]], axis=2)
+         for p in range(heads // 2)],
+        axis=2,
+    ).reshape(b, seq, 3 * heads * d)
+
+    out_fused = fap.flash_attention_fused(qkv, seeds, heads=heads, rate=rate)
+    out_packed = fap.flash_attention_packed(q, k, v, seeds, heads=heads, rate=rate)
+    npt.assert_array_equal(np.asarray(out_fused), np.asarray(out_packed))
+
+    dqkv = fap.flash_attention_fused_bwd(qkv, g, seeds, heads=heads, rate=rate)
+    dq, dk, dv = fap.flash_attention_packed_bwd(q, k, v, g, seeds, heads=heads, rate=rate)
+    want = jnp.concatenate(
+        [jnp.stack([x6(dq)[:, :, p], x6(dk)[:, :, p], x6(dv)[:, :, p]], axis=2)
+         for p in range(heads // 2)],
+        axis=2,
+    ).reshape(b, seq, 3 * heads * d)
+    npt.assert_array_equal(np.asarray(dqkv), np.asarray(want))

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from bsi_tpu.models import DenoisingDiT, DenoisingMLP, DenoisingVDMUNet
-from bsi_tpu.nn import FourierFeatures, NyquistPositionalEmbedding, repack_qkv_head_major
+from bsi_tpu.nn import FourierFeatures, NyquistPositionalEmbedding, repack_qkv_grouped
 
 
 def t2j(x):
@@ -39,8 +39,8 @@ def groupnorm(mod):
 
 def qkv(converted: dict, heads: int) -> dict:
     """Repack a converted qkv projection from the reference's (qkv h c)
-    output layout to our head-major (h qkv c) layout (bsi_tpu/nn/attention)."""
-    return {k: repack_qkv_head_major(v, heads) for k, v in converted.items()}
+    output layout to our grouped (g qkv x) layout (bsi_tpu/nn/attention)."""
+    return {k: repack_qkv_grouped(v, heads) for k, v in converted.items()}
 
 
 def make_double(build):
