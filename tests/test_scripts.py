@@ -129,3 +129,25 @@ def test_eval_fid_requires_weights(checkpoint, tmp_path, monkeypatch):
             ["-c", str(checkpoint), "-o", str(tmp_path / "fid.json"), "-k", "4"],
             monkeypatch,
         )
+
+
+def test_paired_noise_eval_parity(tmp_path, monkeypatch):
+    """Same weights + IDENTICAL noise realizations in both frameworks: the
+    bpd gap must be machine epsilon (the definitive form of the 1e-3 bpd
+    parity target; scripts/parity_eval.py::run_paired). Tiny MC counts keep
+    it fast — the pairing mechanism, not the estimator quality, is under test."""
+    monkeypatch.syspath_prepend(str(SCRIPTS))
+    import parity_eval as pe
+
+    out = tmp_path / "paired.json"
+    summary = pe.run(
+        ("bsi", "vdm", "bfn"), steps=5, n_train=64, n_val=16, n_recon=2,
+        n_measure=8, bs=8, paired_only=True, out=str(out),
+    )
+    assert summary["all_paired_pass_1e-3"]
+    # the real bar: identical integrand sample path => float-epsilon gap
+    assert summary["max_paired_per_example_gap"] < 1e-9
+    for r in summary["results"]:
+        sites = r["paired"]["draw_sites"]
+        assert any("perm" in k for k in sites), sites
+    assert json.loads(out.read_text())["all_paired_pass_1e-3"]
