@@ -156,10 +156,15 @@ def build_task(
     # device grid; the Trainer applies Megatron column/row weight shardings
     # (model axis) or stacked-block GPipe sharding (pipe axis) when > 1
     tp = int(trainer_cfg.get("model_parallelism", 1) or 1)
-    if mesh is None and (tp > 1 or pp > 1):
+    dcn = int(trainer_cfg.get("dcn_data_parallelism", 1) or 1)
+    if mesh is None and (tp > 1 or pp > 1 or dcn > 1):
         from bsi_tpu.parallel import make_mesh
 
-        mesh = make_mesh(model_parallelism=tp, pipeline_parallelism=pp)
+        mesh = make_mesh(
+            model_parallelism=tp,
+            pipeline_parallelism=pp,
+            dcn_data_parallelism=dcn,
+        )
 
     max_steps = int(trainer_cfg.get("max_steps", 10000))
     optimizer, lr_schedule = build_optimizer(

@@ -317,3 +317,33 @@ def test_grad_accumulation_end_to_end(tmp_path):
     )
     with pytest.raises(ValueError, match="accumulate_grad_batches"):
         bad.fit()
+
+
+def test_dcn_hybrid_mesh_matches_single_device(tmp_path):
+    """Multi-slice layout (dcn_data_parallelism): the data axis is laid out
+    slice-major (DCN factor outermost, ICI factors inner) — the SPMD program
+    is identical to plain data parallelism, so the trajectory must match a
+    single device. Also checks the grid shape/axis invariants directly."""
+    mesh = make_mesh(8, dcn_data_parallelism=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 8
+
+    # composition with a model axis: 2 slices x (2 data x 2 model) per slice
+    m2 = make_mesh(8, model_parallelism=2, dcn_data_parallelism=2)
+    assert m2.shape == {"data": 4, "model": 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dcn_data_parallelism"):
+        make_mesh(8, dcn_data_parallelism=3)
+
+    t1 = make_trainer(tmp_path / "a", mesh=make_mesh(1), max_steps=6,
+                      val_check_interval=100)
+    m1 = t1.fit()
+    td = make_trainer(tmp_path / "b", mesh=mesh, max_steps=6,
+                      val_check_interval=100)
+    md = td.fit()
+    npt.assert_allclose(m1["train/loss"], md["train/loss"], rtol=1e-4)
+    w1 = np.asarray(jax.tree.leaves(t1.state.params)[0])
+    wd = np.asarray(jax.tree.leaves(td.state.params)[0])
+    npt.assert_allclose(w1, wd, atol=1e-5)
