@@ -35,12 +35,25 @@ def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
 
 
 class DiTBlock(nn.Module):
-    """DiT block with adaptive layer norm zero (adaLN-Zero) conditioning."""
+    """DiT block with adaptive layer norm zero (adaLN-Zero) conditioning.
+
+    ``token_sharding`` (a NamedSharding for the [B, S, D] token stream with
+    the SEQUENCE dim on the mesh's model axis) turns on Megatron-style
+    sequence parallelism: the residual stream, both fused LayerNorms, and the
+    dropout run sharded over tokens; XLA inserts the all-gather before each
+    matmul pair and turns the pair's output all-reduce into a reduce-scatter
+    (see bsi_tpu/parallel/sequence.py)."""
 
     heads: int
     mlp_ratio: int = 4
     dropout: float | None = None
     dtype: jnp.dtype | None = None
+    token_sharding: object | None = None
+
+    def _sp(self, v: jnp.ndarray) -> jnp.ndarray:
+        if self.token_sharding is None:
+            return v
+        return jax.lax.with_sharding_constraint(v, self.token_sharding)
 
     @nn.compact
     def __call__(
@@ -63,7 +76,8 @@ class DiTBlock(nn.Module):
 
         # LayerNorm + modulate fused in one HBM pass (Pallas on TPU; both
         # norms are statistics-only, so there are no LN params to thread)
-        attn_in = layernorm_modulate(x, shift_msa, scale_msa)
+        x = self._sp(x)
+        attn_in = self._sp(layernorm_modulate(x, shift_msa, scale_msa))
         attn_out = TokenAttention(
             heads=self.heads, dropout=self.dropout or 0.0, dtype=self.dtype, name="attn"
         )(attn_in, deterministic=deterministic)
@@ -74,9 +88,9 @@ class DiTBlock(nn.Module):
         # pressure triggers more XLA auto-remat than the recompute costs.
         # So the default policy stays dots-only; the name remains as a hook.
         attn_out = checkpoint_name(attn_out, "attn_out")
-        x = x + gate_msa[:, None, :] * attn_out
+        x = self._sp(x + gate_msa[:, None, :] * attn_out)
 
-        mlp_in = layernorm_modulate(x, shift_mlp, scale_mlp)
+        mlp_in = self._sp(layernorm_modulate(x, shift_mlp, scale_mlp))
         if self.dropout is not None:
             mlp_in = nn.Dropout(self.dropout, deterministic=deterministic)(mlp_in)
         mlp_out = MLP(
@@ -86,7 +100,7 @@ class DiTBlock(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(mlp_in)
-        return x + gate_mlp[:, None, :] * mlp_out
+        return self._sp(x + gate_mlp[:, None, :] * mlp_out)
 
 
 class _BlockScanBody(nn.Module):
@@ -99,6 +113,7 @@ class _BlockScanBody(nn.Module):
     mlp_ratio: int = 4
     dropout: float | None = None
     dtype: jnp.dtype | None = None
+    token_sharding: object | None = None
 
     @nn.compact
     def __call__(self, tokens, c, deterministic: bool = True):
@@ -107,6 +122,7 @@ class _BlockScanBody(nn.Module):
             mlp_ratio=self.mlp_ratio,
             dropout=self.dropout,
             dtype=self.dtype,
+            token_sharding=self.token_sharding,
             name="block",
         )(tokens, c, deterministic)
         return tokens, None
@@ -134,6 +150,9 @@ class DiT(nn.Module):
     remat: bool = False
     scan_blocks: bool = False
     dtype: jnp.dtype | None = None
+    # NamedSharding for the [B, S, D] token stream (seq on the model axis)
+    # enabling sequence parallelism; see bsi_tpu/parallel/sequence.py.
+    token_sharding: object | None = None
 
     def _pos_embedding(self) -> np.ndarray:
         """Fixed 2D positional embedding: concat of per-row and per-column 1D
@@ -177,6 +196,7 @@ class DiT(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                token_sharding=self.token_sharding,
             )
         else:
             block_cls = (
@@ -191,6 +211,7 @@ class DiT(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    token_sharding=self.token_sharding,
                 )
                 for _ in range(self.depth)
             ]
@@ -208,6 +229,8 @@ class DiT(nn.Module):
 
         tokens = self.patch_encoder(patches)
         tokens = tokens + jnp.asarray(self._pos_embedding(), tokens.dtype)
+        if self.token_sharding is not None:
+            tokens = jax.lax.with_sharding_constraint(tokens, self.token_sharding)
         c = NyquistPositionalEmbedding(self.hidden_size, 1000)(t)
         return tokens, c
 
@@ -227,6 +250,10 @@ class DiT(nn.Module):
         h, w = self.input_size
         p = self.patch_size
         ph, pw = h // p, w // p
+        if self.token_sharding is not None:
+            # decoder norm + linear run token-sharded; the unpatchify below
+            # forces the (single) final all-gather of the stream
+            tokens = jax.lax.with_sharding_constraint(tokens, self.token_sharding)
         tokens = self.decoder_norm(tokens)
         out = self.patch_decoder(tokens)
         # Unpatchify: [B, (ph pw), (p p C)] -> [B, H, W, C]
@@ -257,6 +284,7 @@ class DenoisingDiT(nn.Module):
     scan_blocks: bool = False
     fourier_features: FourierFeatures | None = None
     dtype: jnp.dtype | None = None
+    token_sharding: object | None = None
 
     def setup(self):
         if len(self.data_shape) != 3:
@@ -273,6 +301,7 @@ class DenoisingDiT(nn.Module):
             remat=self.remat,
             scan_blocks=self.scan_blocks,
             dtype=self.dtype,
+            token_sharding=self.token_sharding,
         )
 
     def _features(self, mu: jnp.ndarray) -> jnp.ndarray:

@@ -123,36 +123,76 @@ def _bwd_pallas(x, scale, g, *, interpret: bool = False):
 
 
 # ------------------------------------------------- SPMD partitioning rules
-# Each grid cell touches one batch slice; shard batch, replicate seq/features
-# (same reasoning as the attention kernels, flash_attention.py:316-330).
+# Each grid cell touches one batch slice of whole rows (tokens); LayerNorm is
+# per-token, so BOTH the batch and the sequence dim may shard — the latter is
+# what sequence parallelism (bsi_tpu/parallel/sequence.py) relies on: the
+# kernel runs on this rank's token slice with no communication in forward.
+# Only the feature dim must stay replicated (the statistics reduce over it).
+# The backward's dshift/dscale reduce over seq, so under a seq-sharded layout
+# the local partials are psum'd over the seq-sharding axes inside the
+# partitioned lowering.
+
+# Test hook: route the partitioned lowering through Pallas interpret mode so
+# the SPMD rules (incl. the seq-shard psum) run on the CPU test mesh.
+_INTERPRET = False
 
 
-def _make_partition(local_fn, n_out: int):
-    def partition(mesh, arg_shapes, result_shape):
-        arg_shardings = tuple(a.sharding for a in arg_shapes)
-        if n_out == 1:
-            result_shardings = arg_shapes[0].sharding
-        else:
-            # dx follows x; dshift/dscale follow the [b, d] conditioning args
-            result_shardings = (arg_shapes[0].sharding, arg_shapes[1].sharding,
-                                arg_shapes[1].sharding)
-        return mesh, local_fn, result_shardings, arg_shardings
+def _seq_axes(sharding):
+    """Mesh axes sharding dim 1 (seq) of a [b, s, d] NamedSharding."""
+    spec = sharding.spec
+    if len(spec) < 2 or spec[1] is None:
+        return ()
+    s = spec[1]
+    return tuple(s) if isinstance(s, tuple) else (s,)
 
-    return partition
+
+def _cond_sharding(mesh, x_sharding):
+    """[b, d] conditioning sharding consistent with x's [b, s, d]: batch dim
+    follows x, feature dim replicated (and never the seq axes)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    b = x_sharding.spec[0] if len(x_sharding.spec) > 0 else None
+    return NamedSharding(mesh, PartitionSpec(b, None))
+
+
+def _partition_fwd(mesh, arg_shapes, result_shape):
+    x_sh = arg_shapes[0].sharding
+    cond = _cond_sharding(mesh, x_sh)
+
+    def local_fn(x, shift, scale):
+        return _fwd_pallas(x, shift, scale, interpret=_INTERPRET)
+
+    return mesh, local_fn, x_sh, (x_sh, cond, cond)
+
+
+def _partition_bwd(mesh, arg_shapes, result_shape):
+    x_sh = arg_shapes[0].sharding
+    cond = _cond_sharding(mesh, x_sh)
+    s_axes = _seq_axes(x_sh)
+
+    def local_fn(x, scale, g):
+        dx, dshift, dscale = _bwd_pallas(x, scale, g, interpret=_INTERPRET)
+        if s_axes:
+            # seq-sharded stream: every rank reduced only its own tokens
+            dshift = jax.lax.psum(dshift, s_axes)
+            dscale = jax.lax.psum(dscale, s_axes)
+        return dx, dshift, dscale
+
+    return mesh, local_fn, (x_sh, cond, cond), (x_sh, cond, x_sh)
 
 
 @functools.cache
 def _partitioned_fwd():
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    def local_fn(x, shift, scale):
-        return _fwd_pallas(x, shift, scale)
+    def wrapped(x, shift, scale):
+        return _fwd_pallas(x, shift, scale, interpret=_INTERPRET)
 
-    f = custom_partitioning(local_fn)
+    f = custom_partitioning(wrapped)
     f.def_partition(
-        partition=_make_partition(local_fn, 1),
+        partition=_partition_fwd,
         sharding_rule="b s d, b d, b d -> b s d",
-        need_replication_factors=("s", "d"),
+        need_replication_factors=("d",),
     )
     return f
 
@@ -161,14 +201,14 @@ def _partitioned_fwd():
 def _partitioned_bwd():
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    def local_fn(x, scale, g):
-        return _bwd_pallas(x, scale, g)
+    def wrapped(x, scale, g):
+        return _bwd_pallas(x, scale, g, interpret=_INTERPRET)
 
-    f = custom_partitioning(local_fn)
+    f = custom_partitioning(wrapped)
     f.def_partition(
-        partition=_make_partition(local_fn, 3),
+        partition=_partition_bwd,
         sharding_rule="b s d, b d, b s d -> b s d, b d, b d",
-        need_replication_factors=("s", "d"),
+        need_replication_factors=("d",),
     )
     return f
 

@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .sequence import apply_sequence_parallelism, token_stream_sharding
 
 __all__ = [
     "DATA_AXIS",
@@ -18,4 +19,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "pad_to_multiple",
+    "apply_sequence_parallelism",
+    "token_stream_sharding",
 ]

@@ -197,6 +197,8 @@ def build_task(
         preemption=preemption,
         profiler=profiler,
         fsdp=bool(trainer_cfg.get("fsdp", False)),
+        async_checkpointing=bool(trainer_cfg.get("async_checkpointing", True)),
+        sequence_parallel=bool(trainer_cfg.get("sequence_parallel", False)),
         fid_metrics=fid_metrics,
         accumulate_grad_batches=int(trainer_cfg.get("accumulate_grad_batches", 1) or 1),
         lr_schedule=lr_schedule,

@@ -39,6 +39,67 @@ def save_checkpoint(
     (path / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
 
 
+class AsyncCheckpointWriter:
+    """Checkpoint writer that overlaps disk writes with training.
+
+    The reference blocks training for the whole checkpoint write (Lightning's
+    ``ModelCheckpoint`` saves synchronously inside the loop). TPU-native
+    posture: ``save`` blocks only for the device→host copy of the state
+    (orbax ``AsyncCheckpointer``), the serialization + disk write runs in the
+    background, and training resumes immediately — on a 10M-step CIFAR run
+    with ``val_check_interval=100k`` (SURVEY §6) the multi-GB writes cost
+    zero step time.
+
+    Crash-consistency contract: ``meta.json`` (config + data cursor + best
+    score) is written only AFTER the state commit it belongs to, so a crash
+    mid-write leaves either the old complete checkpoint or a new state with
+    the old cursor — resume then replays a few batches, never skips any.
+    Orbax's own tmp-dir+rename makes the state directory itself atomic.
+
+    Orbax serializes async saves internally (a new ``save`` waits for the
+    previous commit), which is what makes the deferred-meta bookkeeping
+    below deterministic without any threads of our own.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # metas of saves whose state commit has not been observed yet
+        self._pending: list[tuple[Path, dict]] = []
+
+    def save(
+        self,
+        path: str | Path,
+        state: Any,
+        *,
+        config: Optional[dict] = None,
+        data_state: Optional[dict] = None,
+        extra: Optional[dict] = None,
+    ) -> None:
+        path = Path(path).absolute()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        # Blocks for (a) the PREVIOUS save's commit and (b) this state's
+        # device→host copy; the disk write itself proceeds in the background.
+        self._ckptr.save(path / "state", args=ocp.args.StandardSave(state), force=True)
+        # (a) means every previously pending save has committed: flush metas.
+        self._flush_pending()
+        meta = {"config": config, "data_state": data_state, "extra": extra or {}}
+        self._pending.append((path, meta))
+
+    def _flush_pending(self) -> None:
+        for path, meta in self._pending:
+            (path / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
+        self._pending.clear()
+
+    def wait(self) -> None:
+        """Block until all issued saves are committed and their metas written."""
+        self._ckptr.wait_until_finished()
+        self._flush_pending()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
 def load_checkpoint(path: str | Path, target: Any) -> tuple[Any, dict]:
     """Restore a train state saved by :func:`save_checkpoint`.
 

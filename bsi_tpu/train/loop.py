@@ -63,6 +63,8 @@ class Trainer:
         accumulate_grad_batches: int = 1,
         lr_schedule=None,
         pp_microbatches: Optional[int] = None,
+        async_checkpointing: bool = True,
+        sequence_parallel: bool = False,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -90,6 +92,11 @@ class Trainer:
         # LearningRateMonitor analogue (/root/reference/train.py:120)
         self.lr_schedule = lr_schedule
         self.best_bpd = float("inf")
+        # Checkpoint writes overlap training (train/checkpoint.py::
+        # AsyncCheckpointWriter); every exit path from fit() flushes. The
+        # writer is created lazily so Trainers that never save cost nothing.
+        self.async_checkpointing = async_checkpointing
+        self._ckpt_writer = None
         # Gradient accumulation: batch_size is the optimizer-step batch and
         # is split into this many sequential micro-batches on device (the
         # lax.scan in train/step.py). NOTE the semantic vs Lightning: there
@@ -105,6 +112,24 @@ class Trainer:
         self._shard = batch_sharding(self.mesh)
 
         self._n_pipe = self.mesh.shape.get("pipe", 1)
+        if sequence_parallel:
+            # Megatron-SP: token stream sharded over the model axis between
+            # the TP matmul pairs (bsi_tpu/parallel/sequence.py)
+            if self._n_pipe > 1:
+                raise ValueError(
+                    "sequence_parallel does not compose with pipeline "
+                    "parallelism yet; use model_parallelism for the seq axis"
+                )
+            from bsi_tpu.parallel.sequence import apply_sequence_parallelism
+
+            same = self.eval_model is self.model
+            self.model = apply_sequence_parallelism(self.model, self.mesh)
+            self.eval_model = (
+                self.model
+                if same
+                else apply_sequence_parallelism(self.eval_model, self.mesh)
+            )
+        self.sequence_parallel = sequence_parallel
         if self._n_pipe > 1:
             # Pipeline parallelism: blocks stacked + sharded over the pipe
             # axis, GPipe microbatching inside shard_map
@@ -364,12 +389,13 @@ class Trainer:
                     # order matters: best_bpd must be updated before the save
                     # so ckpt_last/ckpt_best embed the new best (requeue-safe)
                     self.best_bpd = bpd
-                    self.save("last")
-                    self.save("best")
+                    self.save("last", wait=False)
+                    self.save("best", wait=False)
                 else:
-                    self.save("last")
+                    self.save("last", wait=False)
                 t_log = time.time()
 
+        self.flush_checkpoints()
         if self.profiler is not None:
             self.profiler.close()
         if np.isfinite(self.best_bpd):
@@ -517,19 +543,38 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoints
 
-    def save(self, tag: str = "last") -> Path:
+    def save(self, tag: str = "last", *, wait: bool = True) -> Path:
+        """Write a checkpoint. With ``wait=False`` (the periodic in-loop
+        saves) only the device→host copy blocks and the disk write overlaps
+        the next training steps; ``wait=True`` (manual saves, interrupt/NaN
+        paths) returns with the checkpoint fully committed either way."""
         assert self.state is not None
         path = self.run_dir / f"ckpt_{tag}"
-        save_checkpoint(
-            path,
-            self.state,
+        kwargs = dict(
             config=self.config,
             data_state=self.data.state_dict(),
             extra={"best_bpd": self.best_bpd},
         )
+        if self.async_checkpointing:
+            if self._ckpt_writer is None:
+                from .checkpoint import AsyncCheckpointWriter
+
+                self._ckpt_writer = AsyncCheckpointWriter()
+            self._ckpt_writer.save(path, self.state, **kwargs)
+            if wait:
+                self._ckpt_writer.wait()
+        else:
+            save_checkpoint(path, self.state, **kwargs)
         return path
 
+    def flush_checkpoints(self) -> None:
+        """Block until every in-flight async checkpoint is committed."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
+
     def restore(self, path: str | Path) -> None:
+        # a restore may target a path an async save is still writing
+        self.flush_checkpoints()
         if self.state is None:
             self.state = self.init_state()
         self.state, meta = load_checkpoint(path, self.state)

@@ -347,3 +347,37 @@ def test_dcn_hybrid_mesh_matches_single_device(tmp_path):
     w1 = np.asarray(jax.tree.leaves(t1.state.params)[0])
     wd = np.asarray(jax.tree.leaves(td.state.params)[0])
     npt.assert_allclose(w1, wd, atol=1e-5)
+
+
+def test_async_checkpointing_overlap_and_consistency(tmp_path):
+    """Async checkpoint writes (the default) must preserve the exact save
+    semantics: overlapping saves to rotating tags commit in order, meta.json
+    appears only with a committed state (the crash-consistency contract in
+    train/checkpoint.py::AsyncCheckpointWriter), restore() flushes in-flight
+    writes, and the restored state round-trips bit-exactly."""
+    t = make_trainer(tmp_path / "a", max_steps=4, val_check_interval=100)
+    t.fit()
+    # several overlapped saves without waiting, incl. same-path overwrites
+    t.best_bpd = 1.25
+    t.save("spin", wait=False)
+    t.save("spin", wait=False)
+    p = t.save("final", wait=False)
+    snap = jax.tree.map(np.asarray, t.state.params)
+    t.flush_checkpoints()
+    assert (p / "meta.json").exists()
+    meta = __import__("json").loads((p / "meta.json").read_text())
+    assert meta["extra"]["best_bpd"] == 1.25
+    assert meta["data_state"] == t.data.state_dict()
+
+    # restore into a fresh trainer goes through the flush path
+    t2 = make_trainer(tmp_path / "b", max_steps=4, val_check_interval=100)
+    t2.restore(p)
+    for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(t2.state.params)):
+        npt.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # sync mode still works and is what wait=True degenerates to
+    t3 = make_trainer(tmp_path / "c", max_steps=2, val_check_interval=100,
+                      async_checkpointing=False)
+    t3.fit()
+    p3 = t3.save("manual")
+    assert (p3 / "meta.json").exists()
