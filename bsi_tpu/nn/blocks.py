@@ -23,12 +23,13 @@ def feature_modulation(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray) -
 
 
 class GroupNormSiLU(nn.Module):
-    """GroupNorm followed by SiLU, fused into one HBM pass on TPU.
+    """GroupNorm followed by SiLU through :func:`bsi_tpu.ops.groupnorm_silu`.
 
     Parameter names ("scale"/"bias") and semantics match ``nn.GroupNorm``
     exactly, so checkpoints and the torch weight-transfer mapping are
-    unchanged; off-TPU (or for unfriendly shapes) the op falls back to
-    plain XLA math (bsi_tpu/ops/groupnorm_silu.py).
+    unchanged. The op runs plain XLA math by default — the Pallas fusion
+    was measured as a net LOSS at this model's shapes (PERF_NOTES.md) and
+    is opt-in via ``BSI_TPU_FUSED_GN=1``.
     """
 
     num_groups: int = 32

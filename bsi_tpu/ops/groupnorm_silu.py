@@ -9,6 +9,14 @@ statistics in VMEM and writes ``silu(xhat * gamma + beta)`` in ONE read +
 ONE write; the backward fuses the SiLU/affine/GroupNorm VJP the same way
 and emits per-batch-slice partials for dgamma/dbeta (summed by XLA).
 
+MEASURED RESULT (PERF_NOTES.md "GroupNorm fusion on the train path"): at
+the CIFAR recipe's shapes ([128, 1024, 128/256]) the kernel LOSES to XLA
+end-to-end — 288 vs 241 ms/step — so dispatch is opt-in via
+``BSI_TPU_FUSED_GN=1`` and the production default is the XLA formulation.
+The kernel, its SPMD rules, and its tests are kept: the theoretical-win
+analysis above holds only when the activation slab per instance is large
+enough that the saved HBM pass beats the custom-call scheduling cost.
+
 Implementation notes:
 - group reductions avoid lane-dimension reshapes (Mosaic-unfriendly) by
   contracting with a compile-time 0/1 channel->group matrix on the MXU;
@@ -228,6 +236,17 @@ def _reference_math(x3, gamma, beta, groups: int):
 
 
 def _use_pallas(x3, groups: int) -> bool:
+    # OPT-IN (BSI_TPU_FUSED_GN=1). Measured end-to-end on the CIFAR recipe
+    # (UNet dim 128 x 32 levels, b128 bf16 train step, PERF_NOTES.md): the
+    # kernel REGRESSES the step 241 -> 288 ms. At these shapes the op is a
+    # thin HBM-bound pass XLA already fuses well, and the custom-call
+    # boundary costs more scheduling overlap than the saved read; the
+    # kernel stays available for larger-C models where the stats reduction
+    # dominates, but plain XLA math is the measured default.
+    import os
+
+    if not os.environ.get("BSI_TPU_FUSED_GN"):
+        return False
     if jax.default_backend() != "tpu":
         return False
     b, rows, c = x3.shape

@@ -27,17 +27,17 @@ import json
 import sys
 import time
 
-import jax
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+from _common import REPO_ROOT  # noqa: F401  (puts the repo root on sys.path)
 
-from bsi_tpu.utils import enable_compilation_cache
+import jax  # noqa: E402
+
+from bsi_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-
-sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
-from _common import REPO_ROOT  # noqa: E402,F401
 
 # Peak dense bf16 FLOP/s by TPU generation (public spec sheets)
 PEAK_FLOPS = {
