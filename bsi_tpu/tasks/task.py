@@ -81,6 +81,7 @@ def build_optimizer(opt_cfg: dict, ls_cfg: Optional[dict], max_steps: int, gradi
         weight_decay=float(opt_cfg.get("weight_decay", 0.01)),
         gradient_clip=gradient_clip,
         mu_dtype=opt_cfg.get("mu_dtype"),
+        nu_dtype=opt_cfg.get("nu_dtype"),
     ), schedule
 
 

@@ -63,7 +63,8 @@ def _phase(msg: str) -> None:
     print(f"[bench_train] {msg}", file=sys.stderr, flush=True)
 
 
-def build(model_name: str, *, remat: bool, mu_dtype: str | None, batch: int | None):
+def build(model_name: str, *, remat: bool, mu_dtype: str | None, batch: int | None,
+          nu_dtype: str | None = None):
     from bsi_tpu.core import BSI
     from bsi_tpu.models import DenoisingDiT, DenoisingVDMUNet
     from bsi_tpu.nn import FourierFeatures, NyquistPositionalEmbedding
@@ -107,31 +108,35 @@ def build(model_name: str, *, remat: bool, mu_dtype: str | None, batch: int | No
     tx = make_optimizer(
         warmup_cosine_schedule(lr, warmup_steps=100, max_steps=10**6),
         mu_dtype=mu_dtype,
+        nu_dtype=nu_dtype,
     )
     ema = EMAConfig(update_after_step=1000)
     return model, algo, tx, ema, batch
 
 
-def main(argv=None) -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=("unet", "dit"), default="unet")
-    p.add_argument("--batch", type=int, default=None)
-    p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--remat", action="store_true")
-    p.add_argument("--mu-dtype", default=None, choices=(None, "bfloat16"))
-    args = p.parse_args(argv)
-
+def run(
+    model_name: str,
+    *,
+    batch: int | None = None,
+    steps: int = 30,
+    remat: bool = False,
+    mu_dtype: str | None = None,
+    nu_dtype: str | None = None,
+) -> dict:
+    """Measure the fused train step for one flagship recipe; returns the
+    JSON record (does not print). Importable by the top-level ``bench.py``
+    so the driver-visible artifact carries training throughput too."""
     from bsi_tpu.train.state import TrainState
     from bsi_tpu.train.step import make_train_step
 
     model, algo, tx, ema, batch = build(
-        args.model, remat=args.remat, mu_dtype=args.mu_dtype, batch=args.batch
+        model_name, remat=remat, mu_dtype=mu_dtype, batch=batch, nu_dtype=nu_dtype
     )
 
     data_shape = algo.data_shape
     mu = jnp.zeros((batch,) + tuple(data_shape), jnp.float32)
     t = jnp.linspace(0.0, 1.0, batch)
-    _phase(f"{args.model}: init params")
+    _phase(f"{model_name}: init params")
     params = model.init(jax.random.key(0), mu, t)
 
     def model_apply(p_, mu_, t_, rng):
@@ -152,25 +157,26 @@ def main(argv=None) -> None:
     _phase("compiling train step (cold compile can take minutes)")
     state, metrics = step_fn(state, x)
     float(metrics["train/loss"])  # completion barrier
-    _phase(f"compiled; timing {args.steps} chained steps")
+    _phase(f"compiled; timing {steps} chained steps")
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         state, metrics = step_fn(state, x)
     final_loss = float(metrics["train/loss"])  # host fetch forces the whole chain
     elapsed = time.perf_counter() - t0
 
-    step_ms = elapsed / args.steps * 1e3
-    ex_per_sec = batch * args.steps / elapsed
+    step_ms = elapsed / steps * 1e3
+    ex_per_sec = batch * steps / elapsed
 
     record = {
-        "metric": f"bsi-{args.model} train throughput (bf16, batch {batch})",
+        "metric": f"bsi-{model_name} train throughput (bf16, batch {batch})",
         "value": round(ex_per_sec, 1),
         "unit": "examples/sec/chip",
         "step_ms": round(step_ms, 1),
         "final_loss": round(final_loss, 4),
-        "remat": bool(args.remat),
-        "mu_dtype": args.mu_dtype,
+        "remat": bool(remat),
+        "mu_dtype": mu_dtype,
+        "nu_dtype": nu_dtype,
     }
 
     # model-FLOPs MFU: 3x one deterministic forward, XLA-counted
@@ -186,7 +192,7 @@ def main(argv=None) -> None:
         fwd_flops = float(cost.get("flops", 0.0))
         peak = _peak()
         if fwd_flops > 0:
-            tflops = 3 * fwd_flops * args.steps / elapsed / 1e12
+            tflops = 3 * fwd_flops * steps / elapsed / 1e12
             record["tflops_per_sec"] = round(tflops, 1)
             record["flops_model"] = "3x-forward"
             if peak is not None:
@@ -194,6 +200,26 @@ def main(argv=None) -> None:
     except Exception as e:  # cost analysis is best-effort
         record["flops_error"] = str(e)
 
+    return record
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=("unet", "dit"), default="unet")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--mu-dtype", default=None, choices=(None, "bfloat16"))
+    p.add_argument("--nu-dtype", default=None, choices=(None, "bfloat16"))
+    args = p.parse_args(argv)
+    record = run(
+        args.model,
+        batch=args.batch,
+        steps=args.steps,
+        remat=args.remat,
+        mu_dtype=args.mu_dtype,
+        nu_dtype=args.nu_dtype,
+    )
     print(json.dumps(record))
 
 

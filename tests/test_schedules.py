@@ -91,3 +91,60 @@ def test_mu_dtype_bf16_optimizer():
     updates, state = tx.update(grads, state, params)
     new_params = optax.apply_updates(params, updates)
     assert jax.tree.leaves(new_params)[0].dtype == jnp.float32
+
+
+def test_scale_by_adam_cast_matches_optax_at_f32():
+    """With both dtypes None, scale_by_adam_cast is numerically identical to
+    optax.scale_by_adam over a multi-step trajectory."""
+    import jax
+    import jax.numpy as jnp
+    import numpy.testing as npt
+    import optax
+
+    from bsi_tpu.train.optim import scale_by_adam_cast
+
+    params = {"w": jnp.linspace(-1, 1, 16).reshape(4, 4), "b": jnp.ones(4)}
+    ours, ref = scale_by_adam_cast(), optax.scale_by_adam()
+    s_o, s_r = ours.init(params), ref.init(params)
+    key = jax.random.key(0)
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        grads = jax.tree.map(
+            lambda p: jax.random.normal(sub, p.shape, p.dtype), params
+        )
+        u_o, s_o = ours.update(grads, s_o)
+        u_r, s_r = ref.update(grads, s_r)
+        for a, b in zip(jax.tree.leaves(u_o), jax.tree.leaves(u_r)):
+            npt.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_nu_dtype_bf16_optimizer():
+    """optimizer.nu_dtype stores the Adam second moment in bf16; the update
+    direction stays within bf16-rounding distance of the f32 optimizer and
+    params stay f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy.testing as npt
+    import optax
+
+    from bsi_tpu.train import make_optimizer
+
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    grads = {"w": jnp.full((8, 8), 0.1, jnp.float32)}
+
+    tx = make_optimizer(1e-3, mu_dtype="bfloat16", nu_dtype="bfloat16")
+    state = tx.init(params)
+    adam = [s for s in jax.tree.leaves(state) if hasattr(s, "dtype")]
+    assert sum(s.dtype == jnp.bfloat16 for s in adam) >= 2, [s.dtype for s in adam]
+
+    tx32 = make_optimizer(1e-3)
+    state32 = tx32.init(params)
+    p_bf, p_32 = params, params
+    for _ in range(3):
+        u, state = tx.update(grads, state, p_bf)
+        p_bf = optax.apply_updates(p_bf, u)
+        u32, state32 = tx32.update(grads, state32, p_32)
+        p_32 = optax.apply_updates(p_32, u32)
+    assert p_bf["w"].dtype == jnp.float32
+    # preconditioner jitter from the bf16 nu is bounded by its 2^-9 mantissa
+    npt.assert_allclose(p_bf["w"], p_32["w"], rtol=3e-3, atol=3e-6)
