@@ -28,6 +28,7 @@ Implementation notes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -164,13 +165,17 @@ def _bwd_pallas(x3, gamma, beta, g3, *, groups: int, interpret: bool = False):
 
 # ------------------------------------------------- SPMD partitioning rules
 
+# Interpret-mode switch for CPU tests of the REAL dispatch/partitioned path
+# (monkeypatched together with _use_pallas; see tests/test_groupnorm_silu.py)
+_INTERPRET = False
+
 
 @functools.cache
 def _partitioned_fwd(groups: int):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def local_fn(x3, gamma, beta):
-        return _fwd_pallas(x3, gamma, beta, groups=groups)
+        return _fwd_pallas(x3, gamma, beta, groups=groups, interpret=_INTERPRET)
 
     f = custom_partitioning(local_fn)
 
@@ -195,7 +200,7 @@ def _partitioned_bwd(groups: int):
         # returns PER-BATCH dgamma/dbeta partials [b, c]: each shard computes
         # its local rows, and the sum over the (possibly sharded) batch axis
         # happens outside this call where XLA inserts the collective
-        return _bwd_pallas(x3, gamma, beta, g3, groups=groups)
+        return _bwd_pallas(x3, gamma, beta, g3, groups=groups, interpret=_INTERPRET)
 
     f = custom_partitioning(local_fn)
 
@@ -235,6 +240,15 @@ def _reference_math(x3, gamma, beta, groups: int):
     return (z * jax.nn.sigmoid(z)).astype(x3.dtype)
 
 
+# Read once at import: the flag gates jit DISPATCH, so flipping it after a
+# shape has compiled would silently do nothing for that shape anyway — set
+# it before the first compile. '0'/'false'/'off'/'' all mean disabled,
+# matching BSI_TPU_CACHE_DIR's convention.
+_FUSED_GN_ENABLED = os.environ.get("BSI_TPU_FUSED_GN", "").lower() in (
+    "1", "true", "on", "yes",
+)
+
+
 def _use_pallas(x3, groups: int) -> bool:
     # OPT-IN (BSI_TPU_FUSED_GN=1). Measured end-to-end on the CIFAR recipe
     # (UNet dim 128 x 32 levels, b128 bf16 train step, PERF_NOTES.md): the
@@ -243,9 +257,7 @@ def _use_pallas(x3, groups: int) -> bool:
     # boundary costs more scheduling overlap than the saved read; the
     # kernel stays available for larger-C models where the stats reduction
     # dominates, but plain XLA math is the measured default.
-    import os
-
-    if not os.environ.get("BSI_TPU_FUSED_GN"):
+    if not _FUSED_GN_ENABLED:
         return False
     if jax.default_backend() != "tpu":
         return False

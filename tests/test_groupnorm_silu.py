@@ -63,6 +63,63 @@ def test_public_entry_value_and_grad():
         npt.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_public_entry_pallas_dispatch(monkeypatch):
+    """Run the PUBLIC entry through the real Pallas dispatch +
+    custom_partitioning path (interpret mode, CPU) — the gate defaults off,
+    so without this test the dispatch wiring would be exercised nowhere."""
+    import importlib
+
+    gns = importlib.import_module("bsi_tpu.ops.groupnorm_silu")
+
+    monkeypatch.setattr(gns, "_INTERPRET", True)
+    monkeypatch.setattr(gns, "_use_pallas", lambda x3, groups: True)
+    # fresh partitioned wrappers so previously cached non-interpret traces
+    # don't leak into this test (and vice versa)
+    gns._partitioned_fwd.cache_clear()
+    gns._partitioned_bwd.cache_clear()
+    try:
+        x, gamma, beta = _inputs(seed=5)
+
+        def loss_ours(x, gamma, beta):
+            return (gns.groupnorm_silu(x, gamma, beta, G) ** 2).sum()
+
+        def loss_ref(x, gamma, beta):
+            return (_flax_reference(x, gamma, beta) ** 2).sum()
+
+        v1, g1 = jax.jit(jax.value_and_grad(loss_ours, argnums=(0, 1, 2)))(
+            x, gamma, beta
+        )
+        v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+        npt.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for a, b in zip(g1, g2):
+            npt.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        gns._partitioned_fwd.cache_clear()
+        gns._partitioned_bwd.cache_clear()
+
+
+def test_fused_gn_env_flag_parsing(monkeypatch):
+    """BSI_TPU_FUSED_GN=0/'off'/'false' must DISABLE the kernel (the flag is
+    parsed, not truth-tested) and 1/'on'/'true' enable it."""
+    import importlib
+
+    gns = importlib.import_module("bsi_tpu.ops.groupnorm_silu")
+
+    def parsed(val):
+        monkeypatch.setenv("BSI_TPU_FUSED_GN", val)
+        importlib.reload(gns)
+        return gns._FUSED_GN_ENABLED
+
+    try:
+        for val in ("0", "false", "off", "", "no"):
+            assert parsed(val) is False, val
+        for val in ("1", "true", "on", "ON", "yes"):
+            assert parsed(val) is True, val
+    finally:
+        monkeypatch.delenv("BSI_TPU_FUSED_GN", raising=False)
+        importlib.reload(gns)
+
+
 def test_module_matches_nn_groupnorm_plus_silu():
     # the flax wrapper module: same param names, same output as the
     # unfused nn.GroupNorm -> silu composition it replaces
