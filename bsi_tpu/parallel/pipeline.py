@@ -50,18 +50,25 @@ def _path_str(path) -> str:
 def pp_state_sharding(state, mesh: Mesh, *, fsdp: bool = False, min_size: int = 2**14):
     """Per-leaf shardings for a TrainState under pipeline parallelism.
 
-    Stacked block leaves shard their leading (depth) axis over ``pipe``;
-    with ``fsdp`` every leaf additionally shards its largest remaining
-    divisible dim over ``data`` (ZeRO-3). Everything else is replicated
-    (or ZeRO-3 sharded)."""
+    Stacked block leaves shard their leading (depth) axis over ``pipe``.
+    When the mesh also has a ``model`` axis > 1, block weight matrices
+    additionally shard tensor-parallel in Megatron column/row pairs on their
+    trailing dims (bsi_tpu/parallel/tensor.py rules — the stacked leaves'
+    paths still end in ``to_qkv/kernel`` etc., and ``tp_leaf_spec`` operates
+    on the LAST two dims, so rank-3 stacked kernels work unchanged). With
+    ``fsdp`` every leaf additionally shards its largest remaining divisible
+    dim over ``data`` (ZeRO-3). Everything else is replicated (or ZeRO-3
+    sharded)."""
     from .fsdp import assign_zero3_dim
+    from .tensor import tp_leaf_spec
 
     n_pipe = mesh.shape[PIPE_AXIS]
+    tp = mesh.shape.get(MODEL_AXIS, 1)
     data_size = mesh.shape[DATA_AXIS]
 
     def to_sharding(path, leaf):
         shape = getattr(leaf, "shape", ())
-        spec = [None] * len(shape)
+        spec = tp_leaf_spec(_path_str(path), shape, tp)
         if _stacked_depth(_path_str(path), leaf) and len(shape) >= 1 and shape[0] % n_pipe == 0:
             spec[0] = PIPE_AXIS
         if fsdp:
@@ -85,13 +92,25 @@ def make_pipeline_apply(model, mesh: Mesh, *, microbatches: int | None = None):
     depth = int(model.depth)
     if depth % n_pipe:
         raise ValueError(f"model depth {depth} not divisible by pipe axis {n_pipe}")
-    if mesh.shape.get(MODEL_AXIS, 1) > 1:
-        raise ValueError("pipeline parallelism does not compose with tensor parallelism yet")
+    # Tensor parallelism composes via partial-manual shard_map: the map below
+    # is manual over (data, pipe) only, the `model` axis stays AUTO, so the
+    # stacked weights enter with their Megatron column/row shardings intact
+    # (pp_state_sharding) and GSPMD inserts the TP collectives inside each
+    # stage exactly as in the unpipelined case.
+    n_model = int(mesh.shape.get(MODEL_AXIS, 1))
+    # Sequence parallelism under PP: the batch dim is manual (per-shard)
+    # inside the map, so the model's full [data, model, None] token sharding
+    # cannot be used there — constrain only the AUTO model axis on the
+    # sequence dim; embed/decode outside the map keep the full sharding.
+    inner_token_sharding = None
+    if getattr(model, "token_sharding", None) is not None and n_model > 1:
+        inner_token_sharding = P(None, MODEL_AXIS, None)
     block = DiTBlock(
         heads=model.heads,
         mlp_ratio=model.mlp_ratio,
         dropout=model.dropout,
         dtype=model.dtype,
+        token_sharding=inner_token_sharding,
     )
     n_local = depth // n_pipe
     remat = bool(getattr(model, "remat", False))

@@ -114,12 +114,10 @@ class Trainer:
         self._n_pipe = self.mesh.shape.get("pipe", 1)
         if sequence_parallel:
             # Megatron-SP: token stream sharded over the model axis between
-            # the TP matmul pairs (bsi_tpu/parallel/sequence.py)
-            if self._n_pipe > 1:
-                raise ValueError(
-                    "sequence_parallel does not compose with pipeline "
-                    "parallelism yet; use model_parallelism for the seq axis"
-                )
+            # the TP matmul pairs (bsi_tpu/parallel/sequence.py). Composes
+            # with pipeline parallelism: make_pipeline_apply rewrites the
+            # token sharding to the model axis only inside its (data, pipe)
+            # manual shard_map, keeping the full sharding on embed/decode.
             from bsi_tpu.parallel.sequence import apply_sequence_parallelism
 
             same = self.eval_model is self.model
@@ -407,6 +405,19 @@ class Trainer:
     # ------------------------------------------------------------------- eval
 
     def validate(self, *, stage: str = "val", epoch_tag: int = 0) -> dict:
+        """One full evaluation pass; returns the metric dict.
+
+        Eval-RNG contract: every ``validate()`` call reseeds one fixed key
+        derived from ``self.seed`` — matching the reference's reset-per-epoch
+        semantics (bsi/tasks/bsi.py:200-202, ``set_seed`` on every val epoch)
+        — so eval ELBO noise AND the FID sample set are IDENTICAL across
+        validations at the same params: metrics are bitwise repeatable (two
+        ``validate()`` calls at the same step return equal dicts) and
+        comparable across steps, measuring only the model's change. The cost,
+        inherited deliberately from the reference: consecutive validations
+        never average over fresh sample draws; raise the ELBO MC counts or
+        eval-split size (not the number of passes) to shrink estimator
+        variance."""
         assert self.state is not None
         self._ensure_compiled()
         splits = self.data.eval_splits() if stage == "val" else self.data.test_splits()

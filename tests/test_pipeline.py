@@ -204,8 +204,101 @@ def test_pipeline_microbatch_divisibility(tmp_path):
         tr.fit()
 
 
-def test_pipeline_rejects_tp_combo():
+def test_pipeline_tp_matches_plain_forward_and_grad():
+    """PP(2) x TP(2) x DP(2): the shard_map is manual over (data, pipe) only,
+    the model axis stays AUTO, so the stacked blocks' Megatron column/row
+    shardings (pp_state_sharding) drive GSPMD to insert the TP collectives
+    inside each stage. Must equal the plain unsharded model."""
     model = make_dit(scan_blocks=True)
+    mu, t = _inputs(batch=8)
+    mu, t = mu.astype(jnp.float64), t.astype(jnp.float64)
+    params = _randomized_f64(model.init(jax.random.key(1), mu, t))
     mesh = make_mesh(8, pipeline_parallelism=2, model_parallelism=2)
-    with pytest.raises(ValueError, match="tensor parallelism"):
-        make_pipeline_apply(model, mesh)
+
+    sh = pp_state_sharding(params, mesh)
+    # the TP rules fired on the stacked rank-3 leaves: [pipe, None, model]
+    qkv_spec = sh["params"]["dit"]["blocks"]["block"]["attn"]["to_qkv"]["kernel"].spec
+    assert qkv_spec[0] == "pipe" and qkv_spec[-1] == "model"
+    out_spec = sh["params"]["dit"]["blocks"]["block"]["attn"]["to_out"]["kernel"].spec
+    assert out_spec[0] == "pipe" and out_spec[-2] == "model"
+    params_sh = jax.device_put(params, sh)
+
+    papply = make_pipeline_apply(model, mesh, microbatches=2)
+    y_ref = model.apply(params, mu, t)
+    y_pipe = jax.jit(lambda p: papply(p, mu, t, None, deterministic=True))(params_sh)
+    npt.assert_allclose(np.asarray(y_pipe), np.asarray(y_ref), rtol=1e-10, atol=1e-10)
+
+    def loss_ref(p):
+        return (model.apply(p, mu, t) ** 2).mean()
+
+    def loss_pipe(p):
+        return (papply(p, mu, t, None, deterministic=True) ** 2).mean()
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_pipe = jax.jit(jax.grad(loss_pipe))(params_sh)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
+        npt.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10)
+
+
+def test_pipeline_sp_tp_matches_plain_forward_and_grad():
+    """SP under PP: the token stream shards its SEQUENCE dim over the (AUTO)
+    model axis inside the pipeline's (data, pipe)-manual shard_map —
+    make_pipeline_apply rewrites the full [data, model, None] token sharding
+    to the model axis only for the in-map blocks. Equality with the plain
+    unsharded, non-SP model."""
+    from bsi_tpu.parallel.sequence import apply_sequence_parallelism
+
+    model = make_dit(scan_blocks=True)
+    mu, t = _inputs(batch=8)
+    mu, t = mu.astype(jnp.float64), t.astype(jnp.float64)
+    params = _randomized_f64(model.init(jax.random.key(1), mu, t))
+    mesh = make_mesh(8, pipeline_parallelism=2, model_parallelism=2)
+    sp_model = apply_sequence_parallelism(model, mesh)
+    params_sh = jax.device_put(params, pp_state_sharding(params, mesh))
+
+    papply = make_pipeline_apply(sp_model, mesh, microbatches=2)
+    y_ref = model.apply(params, mu, t)
+    y_pipe = jax.jit(lambda p: papply(p, mu, t, None, deterministic=True))(params_sh)
+    npt.assert_allclose(np.asarray(y_pipe), np.asarray(y_ref), rtol=1e-10, atol=1e-10)
+
+    g_ref = jax.grad(lambda p: (model.apply(p, mu, t) ** 2).mean())(params)
+    g_pipe = jax.jit(
+        jax.grad(lambda p: (papply(p, mu, t, None, deterministic=True) ** 2).mean())
+    )(params_sh)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
+        npt.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10)
+
+
+def test_trainer_pipeline_sp_tp_matches_single_device(tmp_path):
+    """Full Trainer under SP(2)xPP(2)xDP(2) (sequence_parallel=True on a
+    pipe+model mesh) reproduces the single-device trajectory."""
+    model = make_dit(scan_blocks=True)
+    t1 = _make_pp_trainer(tmp_path / "one", make_mesh(1), model)
+    m1 = t1.fit()
+    tsp = _make_pp_trainer(
+        tmp_path / "sppptp",
+        make_mesh(8, pipeline_parallelism=2, model_parallelism=2),
+        model,
+        pp_microbatches=2,
+        sequence_parallel=True,
+    )
+    msp = tsp.fit()
+    npt.assert_allclose(msp["train/loss"], m1["train/loss"], rtol=1e-4)
+    npt.assert_allclose(msp["val/bpd"], m1["val/bpd"], rtol=1e-4)
+
+
+def test_trainer_pipeline_tp_matches_single_device(tmp_path):
+    """Full Trainer under PP(2)xTP(2)xDP(2) reproduces the single-device
+    trajectory with the same seed."""
+    model = make_dit(scan_blocks=True)
+    t1 = _make_pp_trainer(tmp_path / "one", make_mesh(1), model)
+    m1 = t1.fit()
+    tp = _make_pp_trainer(
+        tmp_path / "pptp",
+        make_mesh(8, pipeline_parallelism=2, model_parallelism=2),
+        model,
+        pp_microbatches=2,
+    )
+    mp = tp.fit()
+    npt.assert_allclose(mp["train/loss"], m1["train/loss"], rtol=1e-4)
+    npt.assert_allclose(mp["val/bpd"], m1["val/bpd"], rtol=1e-4)

@@ -152,7 +152,10 @@ def test_apply_sequence_parallelism_guards(tmp_path):
             ),
             make_mesh(8, model_parallelism=2),
         )
-    with pytest.raises(ValueError, match="pipeline"):
+    # SP on a pipe-only mesh (no model axis) still has nowhere to shard the
+    # sequence — the model_parallelism guard must fire there too (SP *with*
+    # a model axis composes with PP: tests/test_pipeline.py)
+    with pytest.raises(ValueError, match="model_parallelism"):
         make_trainer(
             tmp_path,
             make_mesh(8, pipeline_parallelism=2),
