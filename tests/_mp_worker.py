@@ -134,6 +134,63 @@ def main() -> None:
         )
     )
 
+    # ---- phases 1b/1c: TP and PP meshes across the live cluster ----------
+    # TP: (data=nproc, model=2) — the model axis lies INSIDE each host (2
+    # local devices), the data axis across hosts. Exercises the Megatron
+    # weight shardings under real multi-process SPMD AND the validation-FID
+    # replica-dedup guard (train/loop.py::_update_fid): with a model axis,
+    # each host's two devices hold identical batch shards that must be
+    # deduped, and the process-locality check must pass on this mesh.
+    # PP: (data=nproc, pipe=2) — GPipe stages inside each host.
+    from bsi_tpu.models import DenoisingDiT
+    from bsi_tpu.nn import FourierFeatures
+
+    extra = {}
+    for phase, mesh_kw, model_kw, trainer_kw in (
+        ("tp", dict(model_parallelism=2), {}, {}),
+        (
+            "pp",
+            dict(pipeline_parallelism=2),
+            dict(scan_blocks=True),
+            dict(pp_microbatches=2),
+        ),
+    ):
+        dit = DenoisingDiT(
+            data_shape=shape,
+            patch_size=2,
+            dim=16,
+            depth=2,
+            heads=2,
+            fourier_features=FourierFeatures(n_min=6, n_max=7),
+            **model_kw,
+        )
+        ph_fid = {"val": FIDScore(stub_embed, real_stats)}
+        ph_trainer = Trainer(
+            algorithm=algo,
+            model=dit,
+            optimizer=make_optimizer(1e-3),
+            data=data,
+            ema=EMAConfig(update_after_step=1),
+            max_steps=4,
+            val_check_interval=100,
+            log_every=2,
+            run_dir=os.path.join(os.path.dirname(out_json), f"run_{phase}{nproc}"),
+            seed=0,
+            mesh=make_mesh(2 * nproc, **mesh_kw) if nproc > 1 else make_mesh(2),
+            fid_metrics=ph_fid,
+            **trainer_kw,
+        )
+        ph_metrics = ph_trainer.fit()
+        extra[f"{phase}_loss"] = ph_metrics["train/loss"]
+        extra[f"{phase}_val_bpd"] = ph_metrics["val/bpd"]
+        extra[f"{phase}_val_fid"] = ph_metrics["val/fid-4"]
+        extra[f"{phase}_param_sum"] = float(
+            sum(
+                np.abs(np.asarray(jax.device_get(leaf))).sum()
+                for leaf in jax.tree.leaves(ph_trainer.state.params)
+            )
+        )
+
     # ---- phase 2: train.py run_one end-to-end under the live cluster ----
     from bsi_tpu.config import ConfigLoader
     import train as train_cli
@@ -185,6 +242,7 @@ def main() -> None:
         "run_one_dir": run_one_dir,
         "run_one_val_bpd": run_one_metrics.get("val/bpd"),
         "resumed_val_bpd": resumed_metrics.get("val/bpd"),
+        **extra,
     }
     with open(out_json, "w") as f:
         json.dump(result, f)

@@ -85,3 +85,33 @@ def test_two_process_training_matches_single_process(tmp_path):
     for w in (single, *double):
         assert np.isfinite(w["run_one_val_bpd"])
         assert np.isfinite(w["resumed_val_bpd"])
+
+    # TP (data-across-hosts x model-within-host) and PP (pipe-within-host)
+    # meshes through the full Trainer + validate + FID: the 2-process run
+    # must reproduce the single-process (plain-DP, same model) trajectory,
+    # and the FID replica-dedup guard must pass and dedup correctly on a
+    # mesh with a non-trivial model/pipe axis (train/loop.py::_update_fid).
+    for phase in ("tp", "pp"):
+        npt.assert_allclose(
+            double[0][f"{phase}_loss"], double[1][f"{phase}_loss"], rtol=1e-12
+        )
+        npt.assert_allclose(
+            double[0][f"{phase}_loss"], single[f"{phase}_loss"], rtol=1e-5
+        )
+        npt.assert_allclose(
+            double[0][f"{phase}_val_bpd"], single[f"{phase}_val_bpd"], rtol=1e-5
+        )
+        npt.assert_allclose(
+            double[0][f"{phase}_val_fid"], double[1][f"{phase}_val_fid"], rtol=1e-10
+        )
+        # vs single-process the MESH differs (plain 2-device DP baseline vs a
+        # model/pipe axis): f32 reduction order shifts the generated samples
+        # by ~1e-6, and the Frechet distance (eigenvalues of the sample
+        # covariance) amplifies that nonlinearly — hence the looser rtol here
+        # than the bit-level cross-process check above.
+        npt.assert_allclose(
+            double[0][f"{phase}_val_fid"], single[f"{phase}_val_fid"], rtol=2e-3
+        )
+        npt.assert_allclose(
+            double[0][f"{phase}_param_sum"], single[f"{phase}_param_sum"], rtol=1e-5
+        )
