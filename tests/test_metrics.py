@@ -410,3 +410,157 @@ def test_inception_full_graph_matches_torch_mirror():
     roundtrip = convert_torch_state_dict(mirror.state_dict())
     for key, value in params.items():
         npt.assert_array_equal(roundtrip[key], value.astype(np.float32))
+
+
+# ------------------------------------------------- full FID pipeline parity
+
+
+def test_fid_full_pipeline_matches_executed_torch_oracle():
+    """The ENTIRE FID pipeline — uint8 images -> bilinear resize -> Inception
+    embed -> streaming (n, sum, cov_sum) stats -> Frechet distance — against
+    an EXECUTED torch oracle at the same random weights: the independent
+    torch transcription of pt_inception for features plus torchmetrics'
+    update/compute semantics transcribed in torch ops. This is the
+    FID-readiness guarantee: the day real pt_inception weights and data
+    exist, only the inputs change (scripts/convert_inception.py +
+    compute_fid_stats.py), not any code this test exercises.
+
+    Full 2048-d statistics are compared exactly; the distance itself is
+    cross-checked on a 256-d slice (a 2048-d nonsymmetric eig is minutes of
+    CPU; the formula is dimension-independent code either way)."""
+    torch = pytest.importorskip("torch")
+
+    from bsi_tpu.metrics.inception import make_embed_fn
+
+    params = _rich_random_params(3)
+    f32 = {k: v.astype(np.float32) for k, v in params.items()}
+    embed = make_embed_fn(f32)
+
+    rng = np.random.default_rng(11)
+    real_u8 = rng.integers(0, 256, size=(12, 32, 32, 3), dtype=np.uint8)
+    fake_u8 = rng.integers(32, 224, size=(10, 32, 32, 3), dtype=np.uint8)
+
+    # ---- ours: the production objects (block_size < n exercises streaming)
+    real_stats = FeatureStats(2048)
+    real_stats.update(np.asarray(embed(real_u8)))
+    score = FIDScore(embed, real_stats, block_size=4)
+    score.update(fake_u8)
+
+    # ---- oracle: torch mirror + torchmetrics state/compute semantics
+    mirror = _torch_pt_inception_mirror(torch).eval()
+    state = {}
+    for key, value in f32.items():
+        if key.endswith("conv.weight"):
+            state[key] = torch.tensor(value.transpose(3, 2, 0, 1))
+        else:
+            state[key] = torch.tensor(value)
+    mirror.load_state_dict(state, strict=False)
+
+    def torch_feats(u8):
+        x01 = torch.tensor(u8.transpose(0, 3, 1, 2)).float() / 255.0
+        with torch.no_grad():
+            return mirror(x01).double()
+
+    tr, tf = torch_feats(real_u8), torch_feats(fake_u8)
+    # torchmetrics FrechetInceptionDistance state: sum, outer-product sum, n
+    for ours, feats in ((real_stats, tr), (score.fake_stats, tf)):
+        npt.assert_allclose(ours.sum, feats.sum(0).numpy(), rtol=1e-4, atol=1e-4)
+        npt.assert_allclose(
+            ours.cov_sum, (feats.T @ feats).numpy(), rtol=1e-4, atol=1e-4
+        )
+        assert ours.n == len(feats)
+
+    def torchmetrics_fid(f_real, f_fake, dim):
+        f_real, f_fake = f_real[:, :dim], f_fake[:, :dim]
+        m1, m2 = f_fake.mean(0), f_real.mean(0)
+        c1 = (f_fake - m1).T @ (f_fake - m1) / (len(f_fake) - 1)
+        c2 = (f_real - m2).T @ (f_real - m2) / (len(f_real) - 1)
+        diff = m1 - m2
+        eig = torch.linalg.eigvals(c1 @ c2)
+        return float(
+            diff @ diff + torch.trace(c1) + torch.trace(c2)
+            - 2 * eig.sqrt().real.sum()
+        )
+
+    def sliced(u8, dim=256):
+        return np.asarray(embed(u8))[:, :dim]
+
+    real256, fake256 = FeatureStats(256), FeatureStats(256)
+    real256.update(sliced(real_u8))
+    fake256.update(sliced(fake_u8))
+    got = fid_from_stats(fake256, real256)
+    want = torchmetrics_fid(tr, tf, 256)
+    npt.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_fid_full_pipeline_matches_installed_torchmetrics():
+    """Same pipeline against the REAL torchmetrics package when available
+    (absent in this image — the transcription oracle above carries the load;
+    this test activates automatically the day torchmetrics is installed)."""
+    torch = pytest.importorskip("torch")
+    tm = pytest.importorskip("torchmetrics.image.fid")
+
+    from bsi_tpu.metrics.inception import make_embed_fn
+
+    f32 = {k: v.astype(np.float32) for k, v in _rich_random_params(3).items()}
+    mirror = _torch_pt_inception_mirror(torch).eval()
+    state = {
+        k: torch.tensor(v.transpose(3, 2, 0, 1) if k.endswith("conv.weight") else v)
+        for k, v in f32.items()
+    }
+    mirror.load_state_dict(state, strict=False)
+
+    class Wrapped(torch.nn.Module):  # torchmetrics feature-extractor protocol
+        def forward(self, u8):
+            return mirror(u8.float() / 255.0)
+
+    metric = tm.FrechetInceptionDistance(feature=Wrapped())
+    rng = np.random.default_rng(11)
+    real_u8 = rng.integers(0, 256, size=(12, 32, 32, 3), dtype=np.uint8)
+    fake_u8 = rng.integers(32, 224, size=(10, 32, 32, 3), dtype=np.uint8)
+    metric.update(torch.tensor(real_u8.transpose(0, 3, 1, 2)), real=True)
+    metric.update(torch.tensor(fake_u8.transpose(0, 3, 1, 2)), real=False)
+    want = float(metric.compute())
+
+    embed = make_embed_fn(f32)
+    real_stats = FeatureStats(2048)
+    real_stats.update(np.asarray(embed(real_u8)))
+    score = FIDScore(embed, real_stats, block_size=4)
+    score.update(fake_u8)
+    npt.assert_allclose(score.compute(), want, rtol=1e-3, atol=1e-3)
+
+
+def test_convert_inception_script_roundtrip(tmp_path, monkeypatch):
+    """scripts/convert_inception.py end-to-end: torch .pth -> verified .npz
+    whose embeddings match the source checkpoint exactly."""
+    torch = pytest.importorskip("torch")
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        convert_inception = importlib.import_module("convert_inception")
+    finally:
+        sys.path.pop(0)
+
+    from bsi_tpu.metrics.inception import load_params, make_embed_fn
+
+    mirror = _torch_pt_inception_mirror(torch).eval()
+    # the real checkpoint also carries an fc head + BN bookkeeping, which the
+    # converter must drop
+    sd = dict(mirror.state_dict())
+    sd["fc.weight"] = torch.zeros(1008, 2048)
+    sd["fc.bias"] = torch.zeros(1008)
+    pth = tmp_path / "pt_inception-test.pth"
+    torch.save(sd, pth)
+
+    out = convert_inception.convert(pth, tmp_path / "pt_inception.npz")
+    npz_params = load_params(out)
+    assert not any(k.startswith("fc.") for k in npz_params)
+    direct_params = load_params(pth)
+
+    imgs = np.random.default_rng(1).integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    a = np.asarray(make_embed_fn(npz_params)(imgs))
+    b = np.asarray(make_embed_fn(direct_params)(imgs))
+    npt.assert_array_equal(a, b)
+    assert a.shape == (3, 2048) and np.isfinite(a).all()
