@@ -177,12 +177,31 @@ def test_eval_mask_excludes_padding(tmp_path):
 
 
 def test_validation_reproducible(tmp_path):
-    """The fixed eval RNG makes repeated validation passes identical."""
-    t = make_trainer(tmp_path, mesh=make_mesh(4), max_steps=2, val_check_interval=100)
+    """The eval-RNG contract (Trainer.validate docstring): every validate()
+    call reseeds the same fixed key, so at the same params ALL metrics —
+    including the FID over the identical generated sample set — are BITWISE
+    repeatable across passes."""
+    from bsi_tpu.metrics import FeatureStats, build_validation_fid, fid_stats_path, images_to_uint8
+
+    data = SyntheticDataModule(
+        n_train=64, n_val=16, data_shape=DATA_SHAPE, batch_size=16, train_eval_size=16
+    )
+    real = FeatureStats(6)
+    val01 = (np.asarray(data.eval_splits()["val"], np.float64) + 1) / 2
+    real.update(_stub_embed(images_to_uint8(val01)))
+    real.save_npz(fid_stats_path(tmp_path, data.short_name(), "val"))
+    fid_metrics = build_validation_fid(data, stats_root=tmp_path, embed_fn=_stub_embed)
+
+    t = make_trainer(
+        tmp_path, mesh=make_mesh(4), data=data, fid_metrics=fid_metrics,
+        max_steps=2, val_check_interval=100,
+    )
     t.fit()
     m_a = t.validate()
     m_b = t.validate()
-    npt.assert_allclose(m_a["val/bpd"], m_b["val/bpd"], rtol=1e-7)
+    assert set(m_a) == set(m_b) and "val/fid-6" in m_a
+    for k in m_a:
+        assert m_a[k] == m_b[k], (k, m_a[k], m_b[k])
 
 
 def _stub_embed(imgs_uint8):
