@@ -173,23 +173,39 @@ def _build_dit():
     # scan_blocks: the 24 blocks run as a lax.scan over stacked params, so
     # the k=128 sampler's XLA program carries ONE block body instead of 24 —
     # without it the compile unit is so large the remote-compile RPC times
-    # out (~28 min "Broken pipe", the round-3 bench killer). Numerically
+    # out (~28 min "Broken pipe", the round-3 bench killer; measured probe:
+    # scan layout compiles the k=128 sampler in 4.3 s). Numerically
     # identical to the loop layout (tests/test_pipeline.py::
     # test_scan_blocks_matches_loop_layout); if anything scan forgoes
     # inter-block fusion, so the measured number is the conservative one.
+    return _make_dit(scan_blocks=True)
+
+
+def _build_dit_for_flops():
+    # FLOP-counting twin: XLA's cost analysis counts a lax.scan body ONCE,
+    # so the scan-blocks forward undercounts the 24 blocks 24x; the loop
+    # layout is the same function (test above) with every block visible.
+    return _make_dit(scan_blocks=False)
+
+
+def _make_dit(*, scan_blocks: bool):
+    from bsi_tpu.models import DenoisingDiT
+    from bsi_tpu.nn import FourierFeatures
+
     return DenoisingDiT(
         data_shape=(32, 32, 3),
         patch_size=2,
         dim=1024,
         depth=24,
         heads=16,
-        scan_blocks=True,
+        scan_blocks=scan_blocks,
         fourier_features=FourierFeatures(n_min=6, n_max=8),
         dtype=jnp.bfloat16,
     )
 
 
-def bench_sampling(build_model, *, batch: int, n_iters: int = 3) -> dict:
+def bench_sampling(build_model, *, batch: int, n_iters: int = 3,
+                   build_model_for_flops=None) -> dict:
     """Time `algo.sample` end-to-end (host fetch forces true completion) and
     self-validate with XLA-counted forward FLOPs x (k+1) model calls."""
     import numpy as np
@@ -225,11 +241,19 @@ def bench_sampling(build_model, *, batch: int, n_iters: int = 3) -> dict:
     record = {"value": round(samples_per_sec, 3), "unit": "samples/sec/chip"}
     # XLA's cost analysis counts the sampling scan's body once, so count one
     # (loop-free) preconditioned forward and scale by the k+1 model calls a
-    # sample makes (k scan steps + the final decode).
+    # sample makes (k scan steps + the final decode). If the serving model
+    # itself contains a scan (scan_blocks), count a loop-layout twin instead.
+    if build_model_for_flops is None:
+        count_model, count_params = model, params
+    else:
+        count_model = build_model_for_flops()
+        count_params = count_model.init(jax.random.key(0), mu, t)
     fwd = jax.jit(
-        lambda p, mu, t: algo._predict_x(lambda m, tt: model.apply(p, m, tt), mu, t)
+        lambda p, mu, t: algo._predict_x(
+            lambda m, tt: count_model.apply(p, m, tt), mu, t
+        )
     )
-    fwd_flops = _compiled_flops(fwd, params, mu, t)
+    fwd_flops = _compiled_flops(fwd, count_params, mu, t)
     peak = _peak_flops()
     if fwd_flops is not None:
         flops_per_call = fwd_flops * (algo.k + 1)
@@ -254,7 +278,10 @@ def main() -> None:
     _emit(unet_rec)
 
     dit_rec = _attempt(
-        "dit-sampling", lambda: bench_sampling(_build_dit, batch=BATCH)
+        "dit-sampling",
+        lambda: bench_sampling(
+            _build_dit, batch=BATCH, build_model_for_flops=_build_dit_for_flops
+        ),
     )
     dit_rec = {
         "metric": f"bsi-dit-L/2-32x32 sampling throughput (k={K_STEPS}, bf16, batch {BATCH})",
