@@ -12,8 +12,8 @@ Training (the hot path being beaten: /root/reference/bsi/tasks/bsi.py:187-198) â
 examples/sec/chip for the fused donated train step (loss+backward+AdamW+EMA):
 
 - UNet at batch 128 (cifar10-vdm recipe);
-- DiT-L/2 at batch 64 with mu_dtype=bfloat16, no explicit remat (the
-  measured-best single-chip operating point, PERF_NOTES.md round-3 tables).
+- DiT-L/2 at batch 64 with mu/nu_dtype=bfloat16 and explicit remat (the
+  measured-best single-chip operating point, PERF_NOTES.md round-4 tables).
 
 Baseline: no numbers are published in the reference repo (BASELINE.md). The
 comparison constants below are analytic estimates of the torch reference on
@@ -301,7 +301,10 @@ def main() -> None:
     _emit(unet_train)
 
     dit_train = _attempt(
-        "dit-train", lambda: _bench_train.run("dit", steps=30, mu_dtype="bfloat16")
+        "dit-train",
+        lambda: _bench_train.run(
+            "dit", steps=30, mu_dtype="bfloat16", nu_dtype="bfloat16", remat=True
+        ),
     )
     if "value" in dit_train:
         dit_train["vs_baseline"] = round(

@@ -233,11 +233,21 @@ def _reference_math(x3, gamma, beta, groups: int):
     ct = jnp.promote_types(x3.dtype, jnp.float32)
     b, rows, c = x3.shape
     xg = x3.astype(ct).reshape(b, rows, groups, c // groups)
+    # One-pass ("fast") variance like flax nn.GroupNorm: E[x^2] - E[x]^2.
+    # Both group reductions fuse into a SINGLE read of the activation; the
+    # two-pass formulation serializes a second full reduction pass behind
+    # the mean (it needs x - mean), which measured as +18% on the whole
+    # UNet sampling step (497 ms of convert_reduce fusions, PERF_NOTES.md
+    # round 4). Statistics stay f32; the normalize/silu pass reads x once
+    # more inside one elementwise fusion and writes in the input dtype.
     mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    xhat = ((xg - mean) * jax.lax.rsqrt(var + _EPS)).reshape(b, rows, c)
-    z = xhat * gamma.astype(ct) + beta.astype(ct)
-    return (z * jax.nn.sigmoid(z)).astype(x3.dtype)
+    var = (xg * xg).mean(axis=(1, 3), keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + _EPS)
+    gamma_g = gamma.astype(ct).reshape(1, 1, groups, c // groups)
+    beta_g = beta.astype(ct).reshape(1, 1, groups, c // groups)
+    z = ((xg - mean) * (rstd * gamma_g) + beta_g).reshape(b, rows, c)
+    z = z.astype(x3.dtype)  # silu in the input dtype, like GroupNorm->nn.silu
+    return z * jax.nn.sigmoid(z)
 
 
 # Read once at import: the flag gates jit DISPATCH, so flipping it after a
