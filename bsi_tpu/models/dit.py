@@ -363,3 +363,43 @@ def unstack_block_params(params):
         return {k: convert(v) for k, v in tree.items()}
 
     return convert(params)
+
+
+def _convert_state_layout(state, convert):
+    """Apply a block-layout converter to every params-shaped tree a TrainState
+    carries: the model params, the EMA params, and the optimizer moments
+    (optax's mu/nu mirror the param structure, so a layout change must walk
+    through the NamedTuple chain state too)."""
+
+    def rec(obj):
+        if isinstance(obj, dict):
+            return convert(obj)
+        if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple
+            return type(obj)(*(rec(v) for v in obj))
+        if isinstance(obj, tuple):
+            return tuple(rec(v) for v in obj)
+        if isinstance(obj, list):
+            return [rec(v) for v in obj]
+        return obj
+
+    return state.replace(
+        params=convert(state.params),
+        ema_params=convert(state.ema_params),
+        opt_state=rec(state.opt_state),
+    )
+
+
+def stack_state_blocks(state, depth: int):
+    """Convert a full TrainState from the loop block layout to the scan
+    layout — the cross-layout restore path: a checkpoint trained (or
+    weight-transferred from torch) in the loop layout can resume under
+    pipeline parallelism, which shards stacked blocks
+    (bsi_tpu/parallel/pipeline.py). Covers params, EMA params, and the Adam
+    moments; ``tests/test_sharded_checkpoint.py`` pins trajectory equality
+    across the conversion."""
+    return _convert_state_layout(state, lambda t: stack_block_params(t, depth))
+
+
+def unstack_state_blocks(state):
+    """Inverse of :func:`stack_state_blocks`: scan-layout TrainState -> loop."""
+    return _convert_state_layout(state, unstack_block_params)

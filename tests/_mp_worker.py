@@ -191,6 +191,39 @@ def main() -> None:
             )
         )
 
+        if phase == "tp":
+            # 2-process mid-run save + restore on the TP mesh: the orbax
+            # multi-host save and Trainer.restore's device_put-to-sharded-
+            # layout path (train/loop.py) under a live cluster with a
+            # model axis. The resumed run continues 4 -> 6.
+            ckpt = ph_trainer.save("resume")
+            res_trainer = Trainer(
+                algorithm=algo,
+                model=dit,
+                optimizer=make_optimizer(1e-3),
+                data=data,
+                ema=EMAConfig(update_after_step=1),
+                max_steps=6,
+                val_check_interval=100,
+                log_every=2,
+                run_dir=os.path.join(
+                    os.path.dirname(out_json), f"run_{phase}{nproc}_res"
+                ),
+                seed=0,
+                mesh=make_mesh(2 * nproc, **mesh_kw) if nproc > 1 else make_mesh(2),
+                fid_metrics={"val": FIDScore(stub_embed, real_stats)},
+                **trainer_kw,
+            )
+            res_metrics = res_trainer.fit(from_checkpoint=ckpt)
+            extra["tp_resumed_loss"] = res_metrics["train/loss"]
+            extra["tp_resumed_val_bpd"] = res_metrics["val/bpd"]
+            extra["tp_resumed_param_sum"] = float(
+                sum(
+                    np.abs(np.asarray(jax.device_get(leaf))).sum()
+                    for leaf in jax.tree.leaves(res_trainer.state.params)
+                )
+            )
+
     # ---- phase 2: train.py run_one end-to-end under the live cluster ----
     from bsi_tpu.config import ConfigLoader
     import train as train_cli

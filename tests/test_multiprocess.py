@@ -115,3 +115,25 @@ def test_two_process_training_matches_single_process(tmp_path):
         npt.assert_allclose(
             double[0][f"{phase}_param_sum"], single[f"{phase}_param_sum"], rtol=1e-5
         )
+
+    # 2-process mid-run save/restore on the TP mesh (orbax multi-host save +
+    # Trainer.restore's re-shard path): both hosts observe the identical
+    # resumed state, and the resumed 6-step trajectory matches the
+    # single-process one
+    npt.assert_allclose(
+        double[0]["tp_resumed_loss"], double[1]["tp_resumed_loss"], rtol=1e-12
+    )
+    npt.assert_allclose(
+        double[0]["tp_resumed_param_sum"],
+        double[1]["tp_resumed_param_sum"],
+        rtol=1e-12,
+    )
+    npt.assert_allclose(
+        double[0]["tp_resumed_loss"], single["tp_resumed_loss"], rtol=1e-5
+    )
+    npt.assert_allclose(
+        double[0]["tp_resumed_val_bpd"], single["tp_resumed_val_bpd"], rtol=1e-5
+    )
+    npt.assert_allclose(
+        double[0]["tp_resumed_param_sum"], single["tp_resumed_param_sum"], rtol=1e-5
+    )
