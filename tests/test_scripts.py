@@ -131,6 +131,81 @@ def test_eval_fid_requires_weights(checkpoint, tmp_path, monkeypatch):
         )
 
 
+def test_convert_inception_self_test(monkeypatch, capsys):
+    """The one-command FID-readiness check (README): full pipeline at random
+    weights vs the executed torch oracle, exits zero and prints the deltas."""
+    run_script("convert_inception.py", ["--self-test"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "SELF-TEST OK" in out
+    assert "embedding delta" in out
+
+
+def test_eval_fid_happy_path(checkpoint, tmp_path, monkeypatch):
+    """The full eval_fid flow (checkpoint -> schedule sweep -> sample ->
+    embed -> stats -> train+test FID -> JSON) with a stub embedder and
+    synthetic real-statistics files. Oracle:
+    /root/reference/scripts/eval_fid.py:99-195."""
+    import bsi_tpu.metrics as M
+    from bsi_tpu.metrics import FeatureStats, fid_from_stats, fid_stats_path, images_to_uint8
+
+    def stub_embed(imgs_uint8):
+        x = np.asarray(imgs_uint8, np.float64) / 255.0
+        return np.concatenate([x.mean(axis=(1, 2)), x.std(axis=(1, 2))], axis=1)
+
+    # swap the InceptionV3 for the stub at the module boundary the script
+    # imports from (the weights file itself is bypassed)
+    monkeypatch.setattr(M, "load_params", lambda path: {})
+    monkeypatch.setattr(M, "make_embed_fn", lambda params: stub_embed)
+
+    # precomputed "real" stats from the checkpoint's own data module, in the
+    # same .npz layout compute_fid_stats.py writes
+    monkeypatch.syspath_prepend(str(SCRIPTS))
+    from _common import load_trainer
+
+    _, _, data = load_trainer(str(checkpoint), [])
+    split_stats = {}
+    for split, arr in (
+        ("train", data.eval_splits()["train"]),
+        ("test", data.test_splits()["test"]),
+    ):
+        stats = FeatureStats(6)
+        stats.update(stub_embed(images_to_uint8((np.asarray(arr) + 1) / 2)))
+        stats.save_npz(fid_stats_path(tmp_path, data.short_name(), split))
+        split_stats[split] = stats
+
+    # the sweep: 2 k-values x 2 schedules
+    outs = {}
+    for sched in ("linear", "cosine"):
+        out = tmp_path / f"fid_{sched}.json"
+        run_script(
+            "eval_fid.py",
+            [
+                "-c", str(checkpoint), "-o", str(out), "-k", "2", "4",
+                "-s", sched, "-n", "16", "--fid-stats-root", str(tmp_path),
+                "--inception-weights", "stubbed", "--batch-size", "16",
+                "data.eval_batch_size=16",
+            ],
+            monkeypatch,
+        )
+        outs[sched] = json.loads(out.read_text())
+
+    model_fids = []
+    for sched, res in outs.items():
+        assert res["config"]["schedule"] == sched
+        assert res["config"]["k"] == [2, 4]
+        assert set(res["fid"]) == {"2", "4"}
+        for k, by_split in res["fid"].items():
+            assert set(by_split) == {"train", "test"}
+            for v in by_split.values():
+                assert np.isfinite(v) and v > -1e-6  # a squared distance
+                model_fids.append(v)
+
+    # sampling from the real distribution itself (the test data) scores far
+    # better than the 3-step model: the metric discriminates
+    real_vs_real = fid_from_stats(split_stats["test"], split_stats["train"])
+    assert real_vs_real < 0.5 * min(model_fids), (real_vs_real, min(model_fids))
+
+
 def test_paired_noise_eval_parity(tmp_path, monkeypatch):
     """Same weights + IDENTICAL noise realizations in both frameworks: the
     bpd gap must be machine epsilon (the definitive form of the 1e-3 bpd
