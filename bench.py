@@ -312,15 +312,35 @@ def main() -> None:
         )
     _emit(dit_train)
 
+    # The imagenet32 recipe's OPTIMIZER batch (512) on one chip: 8 sequential
+    # micro-batches of 64 through the in-step accumulation scan
+    # (/root/reference/config/experiment/imagenet32.yaml:24-46).
+    dit_train_b512 = _attempt(
+        "dit-train-b512",
+        lambda: _bench_train.run(
+            "dit", batch=512, accum=8, steps=6,
+            mu_dtype="bfloat16", nu_dtype="bfloat16", remat=True,
+        ),
+    )
+    if "value" in dit_train_b512:
+        dit_train_b512["vs_baseline"] = round(
+            dit_train_b512["value"] / A100_BASELINE_DIT_TRAIN, 3
+        )
+    _emit(dit_train_b512)
+
     # Combined headline record LAST (drivers that parse the final stdout
     # line see the full result). If the headline UNet number itself failed,
     # fall back to the first successful record so "value" is always present.
     record = dict(unet_rec)
-    for fallback in (dit_rec, unet_train, dit_train):
+    for fallback in (dit_rec, unet_train, dit_train, dit_train_b512):
         if "value" not in record and "value" in fallback:
             record = dict(fallback)
     record["dit"] = dit_rec
-    record["train"] = {"unet": unet_train, "dit": dit_train}
+    record["train"] = {
+        "unet": unet_train,
+        "dit": dit_train,
+        "dit_b512": dit_train_b512,
+    }
     print(json.dumps(record))
 
 

@@ -208,4 +208,5 @@ def build_task(
             if trainer_cfg.get("pp_microbatches")
             else None
         ),
+        dropout_prng_impl=trainer_cfg.get("dropout_prng_impl") or None,
     )

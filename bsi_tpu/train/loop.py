@@ -65,6 +65,7 @@ class Trainer:
         pp_microbatches: Optional[int] = None,
         async_checkpointing: bool = True,
         sequence_parallel: bool = False,
+        dropout_prng_impl: Optional[str] = None,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -106,6 +107,10 @@ class Trainer:
         self.accum = int(accumulate_grad_batches)
         if self.accum < 1:
             raise ValueError("accumulate_grad_batches must be >= 1")
+        # Dropout mask bit-generator ("rbg"/"unsafe_rbg" lower to the TPU
+        # hardware RngBitGenerator; None keeps threefry). Only dropout draws
+        # reroute — see bsi_tpu/train/step.py::dropout_key_for.
+        self.dropout_prng_impl = dropout_prng_impl
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self._rep = replicated(self.mesh)
@@ -254,6 +259,7 @@ class Trainer:
                 self.optimizer,
                 self.ema_cfg,
                 accum_steps=self.accum,
+                dropout_prng_impl=self.dropout_prng_impl,
             ),
             in_shardings=(sh, batch_shard),
             out_shardings=(sh, self._rep),

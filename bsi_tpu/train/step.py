@@ -27,12 +27,34 @@ from .state import TrainState
 ModelApply = Callable[[Any, jnp.ndarray, jnp.ndarray, Optional[jax.Array]], jnp.ndarray]
 
 
+def dropout_key_for(impl: Optional[str], key: jax.Array) -> jax.Array:
+    """Re-wrap a (threefry) PRNG key for a cheaper bit-generator impl.
+
+    Dropout is the one RNG consumer that draws BULK bits on the train hot
+    path (one mask per residual block: ~1.1e9 u32/step for the CIFAR UNet
+    recipe). The default threefry generator computes each word with a long
+    ALU chain; ``"rbg"`` / ``"unsafe_rbg"`` lower to the TPU's hardware
+    ``RngBitGenerator``. Mask *quality* requirements for dropout are far
+    below statistical-test grade, and the stream stays deterministic per
+    (seed, step), so this is a pure speed knob — measured on-chip before
+    adoption (PERF_NOTES.md round-5). Algorithm noise draws (the ELBO's MC
+    estimators) are NOT rerouted: they keep threefry.
+    """
+    if impl is None:
+        return key
+    # threefry key data is 2 uint32 words; rbg wants 4 — derive them from
+    # two child keys so distinct inputs stay distinct
+    data = jax.random.key_data(jax.random.split(key, 2)).reshape(-1)[:4]
+    return jax.random.wrap_key_data(data, impl=impl)
+
+
 def make_train_step(
     algorithm,
     model_apply: ModelApply,
     tx: optax.GradientTransformation,
     ema_cfg: EMAConfig,
     accum_steps: int = 1,
+    dropout_prng_impl: Optional[str] = None,
 ):
     """Build the fused train step: loss -> grads -> optimizer -> EMA.
 
@@ -43,7 +65,9 @@ def make_train_step(
     reference gets from Lightning's ``accumulate_grad_batches``. This lets the
     global-batch-512 recipes run on small chip counts with the optimizer
     trajectory of the large batch (per-micro RNG draws differ from a single
-    big batch, as they do for the reference across ranks)."""
+    big batch, as they do for the reference across ranks).
+
+    ``dropout_prng_impl``: see :func:`dropout_key_for`."""
 
     def loss_and_grads(params, batch, rng_algo, rng_dropout):
         def loss_fn(p):
@@ -55,6 +79,7 @@ def make_train_step(
     def train_step(state: TrainState, batch: jnp.ndarray):
         rng_step = jax.random.fold_in(state.rng, state.step)
         rng_algo, rng_dropout = jax.random.split(rng_step)
+        rng_dropout = dropout_key_for(dropout_prng_impl, rng_dropout)
 
         if accum_steps == 1:
             loss, grads = loss_and_grads(state.params, batch, rng_algo, rng_dropout)

@@ -122,20 +122,32 @@ def run(
     remat: bool = False,
     mu_dtype: str | None = None,
     nu_dtype: str | None = None,
+    accum: int = 1,
+    dropout_impl: str | None = None,
 ) -> dict:
     """Measure the fused train step for one flagship recipe; returns the
     JSON record (does not print). Importable by the top-level ``bench.py``
-    so the driver-visible artifact carries training throughput too."""
+    so the driver-visible artifact carries training throughput too.
+
+    ``accum``: gradient accumulation — ``batch`` stays the OPTIMIZER batch
+    and is split into ``accum`` sequential on-device micro-batches via the
+    in-step lax.scan (train/step.py), the same contract as
+    ``trainer.accumulate_grad_batches``. This is how the reference's
+    imagenet32 recipe batch 512 fits one chip at micro-batch 64
+    (/root/reference/config/experiment/imagenet32.yaml:24-46)."""
     from bsi_tpu.train.state import TrainState
     from bsi_tpu.train.step import make_train_step
 
     model, algo, tx, ema, batch = build(
         model_name, remat=remat, mu_dtype=mu_dtype, batch=batch, nu_dtype=nu_dtype
     )
+    if batch % accum != 0:
+        raise ValueError(f"batch {batch} not divisible by accum {accum}")
+    micro = batch // accum
 
     data_shape = algo.data_shape
-    mu = jnp.zeros((batch,) + tuple(data_shape), jnp.float32)
-    t = jnp.linspace(0.0, 1.0, batch)
+    mu = jnp.zeros((micro,) + tuple(data_shape), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, micro)
     _phase(f"{model_name}: init params")
     params = model.init(jax.random.key(0), mu, t)
 
@@ -144,7 +156,11 @@ def run(
         return model.apply(p_, mu_, t_, deterministic=False, rngs=rngs)
 
     step_fn = jax.jit(
-        make_train_step(algo, model_apply, tx, ema), donate_argnums=0
+        make_train_step(
+            algo, model_apply, tx, ema, accum_steps=accum,
+            dropout_prng_impl=dropout_impl,
+        ),
+        donate_argnums=0,
     )
     state = TrainState.create(
         params=params, opt_state=tx.init(params), rng=jax.random.key(1)
@@ -153,6 +169,8 @@ def run(
     # synthetic 8-bit-quantized batch, fixed on device
     x = np.random.default_rng(0).integers(0, 256, (batch,) + tuple(data_shape))
     x = jnp.asarray(x / 255.0 * 2.0 - 1.0, jnp.float32)
+    if accum > 1:
+        x = x.reshape((accum, micro) + tuple(data_shape))
 
     _phase("compiling train step (cold compile can take minutes)")
     state, metrics = step_fn(state, x)
@@ -168,8 +186,9 @@ def run(
     step_ms = elapsed / steps * 1e3
     ex_per_sec = batch * steps / elapsed
 
+    label = f"batch {batch}" + (f" = {accum} x {micro} accum" if accum > 1 else "")
     record = {
-        "metric": f"bsi-{model_name} train throughput (bf16, batch {batch})",
+        "metric": f"bsi-{model_name} train throughput (bf16, {label})",
         "value": round(ex_per_sec, 1),
         "unit": "examples/sec/chip",
         "step_ms": round(step_ms, 1),
@@ -177,9 +196,13 @@ def run(
         "remat": bool(remat),
         "mu_dtype": mu_dtype,
         "nu_dtype": nu_dtype,
+        "dropout_impl": dropout_impl,
     }
+    if accum > 1:
+        record["accum"] = accum
 
-    # model-FLOPs MFU: 3x one deterministic forward, XLA-counted
+    # model-FLOPs MFU: 3x one deterministic forward (at micro-batch size,
+    # scaled by the accum micro-steps per optimizer step), XLA-counted
     try:
         fwd = jax.jit(
             lambda p_, mu_, t_: algo._predict_x(
@@ -192,7 +215,7 @@ def run(
         fwd_flops = float(cost.get("flops", 0.0))
         peak = _peak()
         if fwd_flops > 0:
-            tflops = 3 * fwd_flops * steps / elapsed / 1e12
+            tflops = 3 * fwd_flops * accum * steps / elapsed / 1e12
             record["tflops_per_sec"] = round(tflops, 1)
             record["flops_model"] = "3x-forward"
             if peak is not None:
@@ -211,6 +234,8 @@ def main(argv=None) -> None:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--mu-dtype", default=None, choices=(None, "bfloat16"))
     p.add_argument("--nu-dtype", default=None, choices=(None, "bfloat16"))
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--dropout-impl", default=None, choices=(None, "rbg", "unsafe_rbg"))
     args = p.parse_args(argv)
     record = run(
         args.model,
@@ -219,6 +244,8 @@ def main(argv=None) -> None:
         remat=args.remat,
         mu_dtype=args.mu_dtype,
         nu_dtype=args.nu_dtype,
+        accum=args.accum,
+        dropout_impl=args.dropout_impl,
     )
     print(json.dumps(record))
 
