@@ -13,17 +13,25 @@ import os
 # imported by the interpreter's sitecustomize, so the env var alone is not
 # enough — update the live config too (backends initialize lazily, so this
 # still takes effect as long as no array op ran yet).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+#
+# BSI_TPU_TEST_PLATFORM=tpu opts OUT of the CPU force so the hardware-only
+# tests (the `skipif(backend != "tpu")` PRNG-kernel tests) can run on a real
+# chip:  BSI_TPU_TEST_PLATFORM=tpu pytest tests/test_attention_grad.py ...
+# (f64 stays off on the chip; TPUs have no hardware doubles.)
+_platform = os.environ.get("BSI_TPU_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import sys  # noqa: E402
 
