@@ -209,4 +209,9 @@ def build_task(
             else None
         ),
         dropout_prng_impl=trainer_cfg.get("dropout_prng_impl") or None,
+        stall_timeout_s=(
+            float(trainer_cfg["stall_timeout_s"])
+            if trainer_cfg.get("stall_timeout_s")
+            else None
+        ),
     )

@@ -66,6 +66,7 @@ class Trainer:
         async_checkpointing: bool = True,
         sequence_parallel: bool = False,
         dropout_prng_impl: Optional[str] = None,
+        stall_timeout_s: Optional[float] = None,
     ):
         self.algorithm = algorithm
         self.model = model
@@ -85,6 +86,12 @@ class Trainer:
         self.callbacks = callbacks
         self.preemption = preemption
         self.profiler = profiler
+        # Fail-fast stall detection (utils/watchdog.py): exit STALL_EXIT_CODE
+        # when no host-sync point is reached for this many seconds, so the
+        # scheduler requeues instead of a wedged RPC holding the allocation.
+        # Must exceed the longest legitimate gap (a full validation pass).
+        self.stall_timeout_s = stall_timeout_s
+        self._watchdog = None
         # Validation-time FID, keyed by eval-split name ("val"/"train"/"test");
         # see bsi_tpu.metrics.fid.build_validation_fid. Mirrors the reference's
         # per-stage sample metrics (bsi/tasks/bsi.py:147-153,168-178).
@@ -339,66 +346,85 @@ class Trainer:
         # checkpoints stays exactly in sync with consumed batches. For
         # expensive host pipelines see bsi_tpu.data.prefetch.DevicePrefetcher.
         global_batch = getattr(self.data, "batch_size", None)
-        for step in range(start_step, self.max_steps):
-            batch = next(batches)
-            if self.accum > 1:
-                batch = batch.reshape((self.accum, -1) + batch.shape[1:])
-            batch = put_host_batch(
-                self.mesh,
-                batch,
-                global_batch=global_batch,
-                batch_axis=1 if self.accum > 1 else 0,
-            )
-            self.state, metrics = self._train_step(self.state, batch)
-            if self.profiler is not None:
-                self.profiler.on_step(step)
+        try:
+            for step in range(start_step, self.max_steps):
+                batch = next(batches)
+                if self.accum > 1:
+                    batch = batch.reshape((self.accum, -1) + batch.shape[1:])
+                batch = put_host_batch(
+                    self.mesh,
+                    batch,
+                    global_batch=global_batch,
+                    batch_axis=1 if self.accum > 1 else 0,
+                )
+                self.state, metrics = self._train_step(self.state, batch)
+                if self.profiler is not None:
+                    self.profiler.on_step(step)
 
-            if (step + 1) % self.log_every == 0 or step + 1 == self.max_steps:
-                host = {k: float(v) for k, v in metrics.items()}
-                if not np.isfinite(host["train/loss"]):
-                    # NaN watchdog: checkpoint the broken state for post-mortem
-                    self.save("nan")
-                    raise RuntimeError(
-                        f"non-finite train loss {host['train/loss']} at step {step + 1} "
-                        f"(state saved to ckpt_nan)"
+                if (step + 1) % self.log_every == 0 or step + 1 == self.max_steps:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(host["train/loss"]):
+                        # NaN watchdog: checkpoint the broken state for post-mortem
+                        self.save("nan")
+                        raise RuntimeError(
+                            f"non-finite train loss {host['train/loss']} at step {step + 1} "
+                            f"(state saved to ckpt_nan)"
+                        )
+                    dt = time.time() - t_log
+                    host["train/steps_per_sec"] = self.log_every / dt if dt > 0 else 0.0
+                    if self.lr_schedule is not None:
+                        lr = self.lr_schedule
+                        host["train/lr"] = float(lr(step) if callable(lr) else lr)
+                    t_log = time.time()
+                    self.logger.log(step + 1, host)
+                    self.logger.console_line(
+                        f"step {step + 1}/{self.max_steps}  loss {host['train/loss']:.4f}  "
+                        f"({host['train/steps_per_sec']:.2f} it/s)"
                     )
-                dt = time.time() - t_log
-                host["train/steps_per_sec"] = self.log_every / dt if dt > 0 else 0.0
-                if self.lr_schedule is not None:
-                    lr = self.lr_schedule
-                    host["train/lr"] = float(lr(step) if callable(lr) else lr)
-                t_log = time.time()
-                self.logger.log(step + 1, host)
-                self.logger.console_line(
-                    f"step {step + 1}/{self.max_steps}  loss {host['train/loss']:.4f}  "
-                    f"({host['train/steps_per_sec']:.2f} it/s)"
-                )
-                last_metrics = host
+                    last_metrics = host
+                    if self.stall_timeout_s:
+                        if self._watchdog is None:
+                            # armed only after the FIRST successful host fetch
+                            # so a long (legitimate) cold compile in step 1
+                            # cannot trip it
+                            from bsi_tpu.utils.watchdog import StallWatchdog
 
-            if self.preemption is not None and self.preemption.triggered:
-                # Preemption: write a resumable checkpoint and stop cleanly
-                # (the SLURM-USR1-requeue analogue, SURVEY.md §5.3)
-                path = self.save("interrupt")
-                self.logger.console_line(
-                    f"preempted at step {step + 1}; checkpoint saved to {path}"
-                )
-                last_metrics["preempted"] = True
-                return last_metrics
+                            self._watchdog = StallWatchdog(
+                                self.stall_timeout_s
+                            ).start()
+                        else:
+                            self._watchdog.beat()
 
-            if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_steps:
-                val_metrics = self.validate(epoch_tag=step + 1)
-                last_metrics.update(val_metrics)
-                bpd = val_metrics.get("val/bpd", float("inf"))
-                if bpd < self.best_bpd:
-                    # order matters: best_bpd must be updated before the save
-                    # so ckpt_last/ckpt_best embed the new best (requeue-safe)
-                    self.best_bpd = bpd
-                    self.save("last", wait=False)
-                    self.save("best", wait=False)
-                else:
-                    self.save("last", wait=False)
-                t_log = time.time()
+                if self.preemption is not None and self.preemption.triggered:
+                    # Preemption: write a resumable checkpoint and stop cleanly
+                    # (the SLURM-USR1-requeue analogue, SURVEY.md §5.3)
+                    path = self.save("interrupt")
+                    self.logger.console_line(
+                        f"preempted at step {step + 1}; checkpoint saved to {path}"
+                    )
+                    last_metrics["preempted"] = True
+                    return last_metrics
 
+                if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_steps:
+                    val_metrics = self.validate(epoch_tag=step + 1)
+                    last_metrics.update(val_metrics)
+                    bpd = val_metrics.get("val/bpd", float("inf"))
+                    if bpd < self.best_bpd:
+                        # order matters: best_bpd must be updated before the save
+                        # so ckpt_last/ckpt_best embed the new best (requeue-safe)
+                        self.best_bpd = bpd
+                        self.save("last", wait=False)
+                        self.save("best", wait=False)
+                    else:
+                        self.save("last", wait=False)
+                    if self._watchdog is not None:
+                        self._watchdog.beat()
+                    t_log = time.time()
+
+        finally:
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
         self.flush_checkpoints()
         if self.profiler is not None:
             self.profiler.close()
@@ -447,6 +473,10 @@ class Trainer:
                 )
                 for k, v in out.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
+                if self._watchdog is not None:
+                    # per-eval-batch host fetch: validation length never
+                    # counts toward the stall timeout
+                    self._watchdog.beat()
                 if fid is not None:
                     # One generated sample per real eval example, like the
                     # reference's eval_step (bsi/tasks/bsi.py:244-252); padded

@@ -65,3 +65,18 @@ def test_exit_code_is_distinctive():
     # pinned: schedulers/wrappers key requeue-on-stall off this value
     assert STALL_EXIT_CODE == 70
 
+
+
+def test_trainer_arms_after_first_fetch_and_stops_on_exit(tmp_path):
+    """End-to-end through Trainer.fit: the watchdog arms at the first logged
+    step, beats keep it quiet through training AND validation, and fit()'s
+    finally tears it down (a leaked armed watchdog would os._exit a later
+    process-idle period)."""
+    from test_train import make_trainer
+
+    trainer = make_trainer(tmp_path, stall_timeout_s=120.0, max_steps=6,
+                           val_check_interval=3, log_every=2)
+    metrics = trainer.fit()
+    assert "val/bpd" in metrics
+    # fit() must tear the armed watchdog down on exit
+    assert trainer._watchdog is None
