@@ -12,8 +12,10 @@ Training (the hot path being beaten: /root/reference/bsi/tasks/bsi.py:187-198) â
 examples/sec/chip for the fused donated train step (loss+backward+AdamW+EMA):
 
 - UNet at batch 128 (cifar10-vdm recipe);
-- DiT-L/2 at batch 64 with mu/nu_dtype=bfloat16 and explicit remat (the
-  measured-best single-chip operating point, PERF_NOTES.md round-4 tables).
+- DiT-L/2 at batch 64 with mu/nu_dtype=bfloat16, explicit remat, and
+  rbg dropout masks (the measured-best single-chip operating point,
+  PERF_NOTES.md round-4/5 tables), plus the imagenet32 recipe's optimizer
+  batch 512 via the 16x32 in-step accumulation scan.
 
 Baseline: no numbers are published in the reference repo (BASELINE.md). The
 comparison constants below are analytic estimates of the torch reference on
@@ -291,8 +293,12 @@ def main() -> None:
         dit_rec["vs_baseline"] = round(dit_rec["value"] / A100_BASELINE_DIT, 3)
     _emit(dit_rec)
 
+    # dropout_impl="rbg": the TPU hardware RngBitGenerator for dropout masks.
+    # Measured round 5 (PERF_NOTES.md): the default threefry mask generation
+    # was 73 ms of the UNet's 229 ms step (228.9 -> 156.0 ms, 43.5 -> 63.9%
+    # MFU) and 45 ms of the DiT's 314.7 ms (-> 269.7 ms, 48.1 -> 56.1% MFU).
     unet_train = _attempt(
-        "unet-train", lambda: _bench_train.run("unet", steps=30)
+        "unet-train", lambda: _bench_train.run("unet", steps=30, dropout_impl="rbg")
     )
     if "value" in unet_train:
         unet_train["vs_baseline"] = round(
@@ -303,7 +309,8 @@ def main() -> None:
     dit_train = _attempt(
         "dit-train",
         lambda: _bench_train.run(
-            "dit", steps=30, mu_dtype="bfloat16", nu_dtype="bfloat16", remat=True
+            "dit", steps=30, mu_dtype="bfloat16", nu_dtype="bfloat16", remat=True,
+            dropout_impl="rbg",
         ),
     )
     if "value" in dit_train:
@@ -312,14 +319,18 @@ def main() -> None:
         )
     _emit(dit_train)
 
-    # The imagenet32 recipe's OPTIMIZER batch (512) on one chip: 8 sequential
-    # micro-batches of 64 through the in-step accumulation scan
-    # (/root/reference/config/experiment/imagenet32.yaml:24-46).
+    # The imagenet32 recipe's OPTIMIZER batch (512) on one chip: 16 sequential
+    # micro-batches of 32 through the in-step accumulation scan
+    # (/root/reference/config/experiment/imagenet32.yaml:24-46). Micro-batch
+    # 64 does NOT fit: the 24 saved bf16[64,256,4096] MLP hiddens overflow
+    # HBM by 16 MB (measured round 5); 16 x 32 fits with margin and is
+    # FASTER per example than b64 (optimizer+EMA amortize over the scan).
     dit_train_b512 = _attempt(
         "dit-train-b512",
         lambda: _bench_train.run(
-            "dit", batch=512, accum=8, steps=6,
+            "dit", batch=512, accum=16, steps=6,
             mu_dtype="bfloat16", nu_dtype="bfloat16", remat=True,
+            dropout_impl="rbg",
         ),
     )
     if "value" in dit_train_b512:
